@@ -1,0 +1,302 @@
+"""Correlation panels as MXU matmuls.
+
+Replaces the reference's per-pair CUDA reduction kernels
+(`corr_kernels.cu:92-1150`) with dense contingency/covariance matmuls:
+
+* marker–marker Kendall tau-b ("npn"): the 3x3 genotype contingency table of
+  every marker pair is obtained in one shot as a one-hot matmul
+  ``X (3m, n) @ X.T`` — all 9 counts for all m^2 pairs ride the MXU. The
+  tau-b -> Pearson map sin(pi/2 * tau) matches `corr_kernels.cu:408-476`.
+* marker–phenotype Pearson with NaN masking (`corr_kernels.cu:92-155`) and
+  phenotype–phenotype Pearson (`corr_kernels.cu:241-282`) are masked matmuls.
+* the banded variant (`corr_kernels.cu:850-1150`) computes row tiles of the
+  dense panel and gathers the width-w diagonal band.
+
+Sample and row axes are processed in fixed-size chunks via `lax.scan` /
+Python-level tiling so that HBM never holds a decoded (m, n) panel; counts
+accumulate exactly in float32 (one-hot bf16 inputs, f32 accumulation).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cigwas_tpu.ops.decode import PAD_BYTE, geno_onehot, geno_value_valid, unpack_bed_codes
+
+# default number of samples processed per scan step (bytes chunk = this / 4)
+DEFAULT_SAMPLE_CHUNK = 131072
+# default number of marker rows per output tile in the tiled/banded paths
+DEFAULT_ROW_TILE = 2048
+
+
+def _pad_rows(arr: np.ndarray, multiple: int, fill) -> np.ndarray:
+    m = arr.shape[0]
+    pad = (-m) % multiple
+    if pad == 0:
+        return arr
+    return np.concatenate(
+        [arr, np.full((pad,) + arr.shape[1:], fill, dtype=arr.dtype)], axis=0
+    )
+
+
+def _prep_bytes(bed_bytes: np.ndarray, num_samples: int, sample_chunk: int):
+    """Pad the byte matrix so every sample chunk is full; returns (bytes, n_chunks).
+
+    Tail codes inside the final byte and padding bytes are forced to the
+    "missing" code so they contribute nothing (reference guards with
+    ``i*4+j < num_individuals``).
+    """
+    bed_bytes = np.asarray(bed_bytes, dtype=np.uint8)
+    m, B = bed_bytes.shape
+    # force tail codes in the last partial byte to missing
+    rem = num_samples % 4
+    if rem and B * 4 >= num_samples:
+        last = bed_bytes[:, (num_samples - 1) // 4].astype(np.uint16)
+        keep_mask = (1 << (2 * rem)) - 1
+        pad_bits = PAD_BYTE & ~keep_mask
+        bed_bytes = bed_bytes.copy()
+        bed_bytes[:, (num_samples - 1) // 4] = ((last & keep_mask) | pad_bits).astype(np.uint8)
+    chunk_bytes = sample_chunk // 4
+    padB = (-B) % chunk_bytes
+    if padB:
+        bed_bytes = np.concatenate(
+            [bed_bytes, np.full((m, padB), PAD_BYTE, dtype=np.uint8)], axis=1
+        )
+    return bed_bytes, bed_bytes.shape[1] // chunk_bytes
+
+
+def _kendall_from_counts(S: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3, 3) contingency counts -> npn correlation sin(pi/2 * tau_b).
+
+    S[a, b] counts individuals with genotype a for the row marker and b for
+    the column marker; concordant/discordant/tie aggregates follow
+    `corr_kernels.cu:455-471`.
+    """
+    s = [S[..., i // 3, i % 3] for i in range(9)]
+    p = (
+        s[0] * (s[4] + s[5] + s[7] + s[8])
+        + s[1] * (s[5] + s[8])
+        + s[3] * (s[7] + s[8])
+        + s[4] * s[8]
+    )
+    q = (
+        s[1] * (s[3] + s[6])
+        + s[2] * (s[3] + s[4] + s[6] + s[7])
+        + s[4] * s[6]
+        + s[5] * (s[6] + s[7])
+    )
+    t = (
+        s[0] * (s[1] + s[2])
+        + s[1] * s[2]
+        + s[3] * (s[4] + s[5])
+        + s[4] * s[5]
+        + s[6] * (s[7] + s[8])
+        + s[7] * s[8]
+    )
+    u = (
+        s[0] * (s[3] + s[6])
+        + s[1] * (s[4] + s[7])
+        + s[2] * (s[5] + s[8])
+        + s[3] * s[6]
+        + s[4] * s[7]
+        + s[5] * s[8]
+    )
+    tau = (p - q) / jnp.sqrt((p + q + t) * (p + q + u))
+    return jnp.sin(jnp.pi / 2 * tau)
+
+
+@partial(jax.jit, static_argnames=("n_chunks",))
+def _kendall_counts_block(rows_bytes, cols_bytes, n_chunks: int):
+    """Accumulated 3x3 contingency counts between two packed byte panels.
+
+    rows_bytes: (mr, B), cols_bytes: (mc, B) -> counts (mr, mc, 3, 3) f32.
+    Scans over sample chunks; each step decodes on the fly and issues one
+    (3*mr, nc) x (nc, 3*mc) MXU matmul.
+    """
+    mr, B = rows_bytes.shape
+    mc = cols_bytes.shape[0]
+    chunk_bytes = B // n_chunks
+
+    def step(acc, idx):
+        rb = jax.lax.dynamic_slice(rows_bytes, (0, idx * chunk_bytes), (mr, chunk_bytes))
+        cb = jax.lax.dynamic_slice(cols_bytes, (0, idx * chunk_bytes), (mc, chunk_bytes))
+        ra = geno_onehot(unpack_bed_codes(rb)).reshape(3 * mr, -1)
+        ca = geno_onehot(unpack_bed_codes(cb)).reshape(3 * mc, -1)
+        acc = acc + jnp.dot(ra, ca.T, preferred_element_type=jnp.float32)
+        return acc, None
+
+    counts, _ = jax.lax.scan(
+        step, jnp.zeros((3 * mr, 3 * mc), jnp.float32), jnp.arange(n_chunks)
+    )
+    return counts.reshape(mr, 3, mc, 3).transpose(0, 2, 1, 3)
+
+
+def kendall_npn_corr(
+    bed_bytes,
+    num_samples: int,
+    row_tile: int | None = None,
+    sample_chunk: int = DEFAULT_SAMPLE_CHUNK,
+) -> np.ndarray:
+    """Full (m, m) marker–marker npn correlation panel.
+
+    Equivalent of `cu_corr_pearson_npn` / `cu_marker_corr_pearson_npn_batched`
+    (`corr_host.cu:1094-1197, 612-898`) — tiling replaces the stripe sweep.
+    """
+    bed_bytes = np.asarray(bed_bytes, dtype=np.uint8)
+    m = bed_bytes.shape[0]
+    sample_chunk = min(sample_chunk, 4 * ((bed_bytes.shape[1] + 31) // 32) * 32 * 4)
+    padded, n_chunks = _prep_bytes(bed_bytes, num_samples, sample_chunk)
+    if row_tile is None:
+        row_tile = m if m <= 4096 else DEFAULT_ROW_TILE
+    padded = _pad_rows(padded, row_tile, PAD_BYTE)
+    mp = padded.shape[0]
+    cols = jnp.asarray(padded)
+    out = np.empty((mp, m), dtype=np.float32)
+    for t0 in range(0, mp, row_tile):
+        counts = _kendall_counts_block(cols[t0 : t0 + row_tile], cols, n_chunks)
+        corr = _kendall_from_counts(counts)
+        out[t0 : t0 + row_tile] = np.asarray(corr)[:, :m]
+    res = out[:m]
+    np.fill_diagonal(res, 1.0)
+    return res
+
+
+def kendall_npn_corr_banded(
+    bed_bytes,
+    num_samples: int,
+    corr_width: int,
+    row_tile: int = DEFAULT_ROW_TILE,
+    sample_chunk: int = DEFAULT_SAMPLE_CHUNK,
+) -> np.ndarray:
+    """Banded npn correlations: band[i, j] = corr(i, i+1+j), zero past the end.
+
+    Equivalent of `cal_mcorrk_banded` / the sparse-scan kernels
+    (`corr_host.cu:1199-1319`, `corr_kernels.cu:850-1003`), with the stream of
+    single-row launches replaced by row-tile x (tile+width) panel matmuls.
+    """
+    bed_bytes = np.asarray(bed_bytes, dtype=np.uint8)
+    m = bed_bytes.shape[0]
+    sample_chunk = min(sample_chunk, 4 * ((bed_bytes.shape[1] + 31) // 32) * 32 * 4)
+    padded, n_chunks = _prep_bytes(bed_bytes, num_samples, sample_chunk)
+    band = np.zeros((m, corr_width), dtype=np.float32)
+    row_tile = min(row_tile, m)
+    gather_ix = np.arange(1, corr_width + 1)[None, :] + np.arange(row_tile)[:, None]
+    for t0 in range(0, m, row_tile):
+        rt = min(row_tile, m - t0)
+        cols_end = min(t0 + row_tile + corr_width, m)
+        rows_b = _pad_rows(padded[t0 : t0 + rt], row_tile, PAD_BYTE)
+        cols_b = _pad_rows(padded[t0:cols_end], row_tile + corr_width, PAD_BYTE)
+        counts = _kendall_counts_block(jnp.asarray(rows_b), jnp.asarray(cols_b), n_chunks)
+        corr = np.asarray(_kendall_from_counts(counts))
+        # local column index of corr(i, i+1+j) is i_local + 1 + j
+        tile_band = np.take_along_axis(
+            corr, np.minimum(gather_ix, corr.shape[1] - 1), axis=1
+        )
+        # zero out entries whose global column falls off the chromosome
+        global_col = t0 + gather_ix
+        tile_band[(global_col >= m) | ~np.isfinite(tile_band)] = 0.0
+        band[t0 : t0 + rt] = tile_band[:rt]
+    return band
+
+
+@partial(jax.jit, static_argnames=("n_chunks",))
+def _marker_phen_sums(bed_bytes, phen0, phen_valid, n_chunks: int):
+    """Accumulate (s_mv_phen, s_phen, n_valid) over sample chunks.
+
+    bed_bytes: (m, B); phen0/phen_valid: (p, 4*B) NaN-zeroed values & masks.
+    """
+    m, B = bed_bytes.shape
+    p = phen0.shape[0]
+    chunk_bytes = B // n_chunks
+    chunk = 4 * chunk_bytes
+
+    def step(carry, idx):
+        s_mp, s_p, n_val = carry
+        rb = jax.lax.dynamic_slice(bed_bytes, (0, idx * chunk_bytes), (m, chunk_bytes))
+        ph0 = jax.lax.dynamic_slice(phen0, (0, idx * chunk), (p, chunk))
+        phv = jax.lax.dynamic_slice(phen_valid, (0, idx * chunk), (p, chunk))
+        vals, valid = geno_value_valid(unpack_bed_codes(rb))
+        mv = vals * valid
+        s_mp = s_mp + jnp.dot(mv, ph0.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        s_p = s_p + jnp.dot(valid, ph0.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        n_val = n_val + jnp.dot(valid, phv.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        return (s_mp, s_p, n_val), None
+
+    init = tuple(jnp.zeros((m, p), jnp.float32) for _ in range(3))
+    (s_mp, s_p, n_val), _ = jax.lax.scan(step, init, jnp.arange(n_chunks))
+    return s_mp, s_p, n_val
+
+
+def marker_phen_corr(
+    bed_bytes,
+    phen: np.ndarray,
+    marker_mean: np.ndarray,
+    marker_std: np.ndarray,
+    num_samples: int,
+    sample_chunk: int = DEFAULT_SAMPLE_CHUNK,
+) -> np.ndarray:
+    """(m, p) Pearson correlations between markers and standardized phenotypes.
+
+    r = (sum(g * y) - mean_g * sum(y)) / (n_valid * std_g), sums over samples
+    where the genotype is non-missing and the phenotype is not NaN — exactly
+    `bed_marker_phen_corr_pearson` (`corr_kernels.cu:92-155`).
+    """
+    bed_bytes = np.asarray(bed_bytes, dtype=np.uint8)
+    phen = np.asarray(phen, dtype=np.float32)
+    sample_chunk = min(sample_chunk, 4 * ((bed_bytes.shape[1] + 31) // 32) * 32 * 4)
+    padded, n_chunks = _prep_bytes(bed_bytes, num_samples, sample_chunk)
+    n_padded = padded.shape[1] * 4
+    phen0 = np.zeros((phen.shape[0], n_padded), dtype=np.float32)
+    phenv = np.zeros((phen.shape[0], n_padded), dtype=np.float32)
+    phen0[:, : phen.shape[1]] = np.nan_to_num(phen)
+    phenv[:, : phen.shape[1]] = np.isfinite(phen).astype(np.float32)
+    s_mp, s_p, n_val = _marker_phen_sums(
+        jnp.asarray(padded), jnp.asarray(phen0), jnp.asarray(phenv), n_chunks
+    )
+    s_mp, s_p, n_val = map(np.asarray, (s_mp, s_p, n_val))
+    mean = np.asarray(marker_mean, dtype=np.float32)[:, None]
+    std = np.asarray(marker_std, dtype=np.float32)[:, None]
+    return (s_mp - mean * s_p) / (n_val * std)
+
+
+def phen_phen_corr(phen: np.ndarray) -> np.ndarray:
+    """(p, p) Pearson panel of standardized phenotypes with pairwise NaN masking.
+
+    r_ab = sum_valid(y_a * y_b) / n_valid_ab (`corr_kernels.cu:241-282`; the
+    phenotypes are assumed standardized, so no mean/std correction).
+    """
+    phen = np.asarray(phen, dtype=np.float32)
+    p0 = jnp.asarray(np.nan_to_num(phen))
+    v = jnp.asarray(np.isfinite(phen).astype(np.float32))
+    s = jnp.dot(p0, p0.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    n = jnp.dot(v, v.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    return np.asarray(s / n)
+
+
+def banded_row_abs_sums(band: np.ndarray) -> np.ndarray:
+    """Forward-band |corr| row sums used by LD blocking (`corr_host.cu:112-128`)."""
+    return np.abs(band).sum(axis=1).astype(np.float32)
+
+
+def pack_square_corr(
+    marker_corr: np.ndarray, marker_phen: np.ndarray, phen_corr: np.ndarray
+) -> np.ndarray:
+    """Assemble the dense (m+p, m+p) correlation matrix fed to the skeleton.
+
+    Equivalent of the triangular->square packing in `cli.cpp:594-649`; the
+    diagonal is 1.
+    """
+    m, p = marker_phen.shape
+    n = m + p
+    sq = np.ones((n, n), dtype=np.float32)
+    sq[:m, :m] = marker_corr
+    sq[:m, m:] = marker_phen
+    sq[m:, :m] = marker_phen.T
+    sq[m:, m:] = phen_corr
+    np.fill_diagonal(sq, 1.0)
+    return sq

@@ -1,0 +1,237 @@
+"""Summary-statistic skeleton pipeline (`mps cuskss`).
+
+Equivalent of `cuskss` (`cli.cpp:194-346`) plus the flag derivation of
+`mps.cpp:31-101`: build the dense correlation + effective-sample-size
+matrices from mxm/mxp/pxp inputs, then run the (optionally two-stage) hetcor
+skeleton with ancestor reduction after each stage (`run_cusk`,
+`cli.cpp:29-60`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from cigwas_tpu.constants import ML
+from cigwas_tpu.io import (
+    MarkerSummaryStats,
+    MarkerTraitSummaryStats,
+    TraitSummaryStats,
+    make_path,
+    read_blocks_from_file,
+    read_ints_from_binary,
+    read_ints_from_lines,
+)
+from cigwas_tpu.io.results import ReducedGC
+from cigwas_tpu.skeleton import hetcor_skeleton, reduce_gc, subset_variables
+from cigwas_tpu.utils.stats import hetcor_threshold
+
+
+@dataclass
+class CuskssArgs:
+    """Mirror of `CuskssArgs` (`cli.h:10-31`); flags as derived in `mps.cpp:49-53`."""
+
+    merged: bool
+    hetcor: bool
+    trait_only: bool
+    two_stage: bool
+    time_indexed: bool
+    alpha: float
+    pearson_sample_size: float
+    max_level_one: int
+    max_level_two: int
+    depth: int
+    block_ix: int
+    block_path: str
+    marker_ixs_path: str
+    mxm_path: str
+    mxp_path: str
+    mxp_se_path: str
+    pxp_path: str
+    pxp_se_path: str
+    time_index_path: str
+    outdir: str
+
+    @classmethod
+    def from_paths(
+        cls,
+        *,
+        mxm: str = "NULL",
+        mxp: str = "NULL",
+        mxp_se: str = "NULL",
+        pxp: str,
+        pxp_se: str = "NULL",
+        time_index: str = "NULL",
+        block_index: int = 0,
+        blockfile: str = "NULL",
+        marker_indices: str = "NULL",
+        alpha: float,
+        max_level_one: int = 3,
+        max_level_two: int = 14,
+        max_depth: int = 1,
+        num_samples: float,
+        outdir: str = "./",
+    ) -> "CuskssArgs":
+        return cls(
+            merged=marker_indices != "NULL",
+            hetcor=mxp_se != "NULL",
+            trait_only=mxm == "NULL",
+            two_stage=max_level_two > 0,
+            time_indexed=time_index != "NULL",
+            alpha=alpha,
+            pearson_sample_size=float(num_samples),
+            max_level_one=max_level_one,
+            max_level_two=max_level_two,
+            depth=max_depth,
+            block_ix=block_index,
+            block_path=blockfile,
+            marker_ixs_path=marker_indices,
+            mxm_path=mxm,
+            mxp_path=mxp,
+            mxp_se_path=mxp_se,
+            pxp_path=pxp,
+            pxp_se_path=pxp_se,
+            time_index_path=time_index,
+            outdir=outdir,
+        )
+
+
+def make_square_cuskss_inputs(
+    mxm: MarkerSummaryStats,
+    mxp: MarkerTraitSummaryStats,
+    pxp: TraitSummaryStats,
+    pearson_sample_size: float,
+    heterogeneous_sample_sizes: bool,
+):
+    """Dense correlation + ESS matrices, markers first then traits
+    (`make_square_cuskss_inputs`, `cli.cpp:89-173`)."""
+    p = pxp.get_num_phen()
+    m = mxm.get_num_markers()
+    n = m + p
+    sq_corrs = np.ones((n, n), dtype=np.float32)
+    sq_ess = np.full((n, n), pearson_sample_size, dtype=np.float32)
+    sq_corrs[:m, :m] = mxm.get_corrs()
+    mp = mxp.get_corrs()
+    sq_corrs[:m, m:] = mp
+    sq_corrs[m:, :m] = mp.T
+    sq_corrs[m:, m:] = pxp.get_corrs()
+    if heterogeneous_sample_sizes:
+        mp_ess = mxp.get_sample_sizes()
+        sq_ess[:m, m:] = mp_ess
+        sq_ess[m:, :m] = mp_ess.T
+        sq_ess[m:, m:] = pxp.get_sample_sizes()
+    return sq_corrs, sq_ess
+
+
+def run_cusk(
+    gc: ReducedGC,
+    threshold: float,
+    max_depth: int,
+    max_level: int,
+    time_index_traits: list[int],
+    verbose: bool = False,
+) -> ReducedGC:
+    """One hetcor-skeleton stage + ancestor reduction (`run_cusk`, `cli.cpp:29-60`)."""
+    time_index = np.zeros(gc.num_var, dtype=np.int32)
+    time_index[gc.num_markers() :] = np.asarray(time_index_traits, dtype=np.int32)
+    res = hetcor_skeleton(
+        gc.C, gc.G, gc.S, threshold, max_level, time_index=time_index, verbose=verbose
+    )
+    keep = subset_variables(res.G, gc.num_var, gc.num_markers(), max_depth)
+    return reduce_gc(
+        res.G,
+        gc.C,
+        gc.S,
+        keep,
+        gc.num_var,
+        gc.num_phen,
+        ML,
+        index_map=gc.new_to_old_indices,
+    )
+
+
+def cuskss(args: CuskssArgs, verbose: bool = True) -> ReducedGC:
+    """Full cuskss workflow (`cuskss`, `cli.cpp:194-346`)."""
+    if args.merged:
+        marker_ixs = read_ints_from_binary(args.marker_ixs_path)
+        block = None
+    else:
+        blocks = read_blocks_from_file(args.block_path)
+        block = blocks[args.block_ix]
+        marker_ixs = None
+
+    if args.hetcor:
+        pxp = TraitSummaryStats(args.pxp_path, se_path=args.pxp_se_path)
+    else:
+        pxp = TraitSummaryStats(args.pxp_path, sample_size=args.pearson_sample_size)
+    num_phen = pxp.get_num_phen()
+
+    time_index_traits = [1] * num_phen
+    if args.time_indexed:
+        time_index_traits = read_ints_from_lines(args.time_index_path)
+
+    th = hetcor_threshold(args.alpha)
+
+    if args.trait_only:
+        num_var = num_phen
+        gc = ReducedGC(
+            num_var=num_var,
+            num_phen=num_phen,
+            max_level=args.max_level_one,
+            new_to_old_indices=np.arange(num_var, dtype=np.int32),
+            G=np.ones((num_var, num_var), dtype=np.int32),
+            C=pxp.get_corrs(),
+            S=pxp.get_sample_sizes(),
+        )
+        gc = run_cusk(
+            gc, th, args.depth, args.max_level_one, time_index_traits, verbose=verbose
+        )
+        gc.to_file(make_path(args.outdir, "trait_only", ""))
+        if verbose:
+            print(f"Retained {gc.num_markers()} markers")
+        return gc
+
+    mxm = MarkerSummaryStats(args.mxm_path)
+    se_path = args.mxp_se_path if args.hetcor else None
+    if args.merged:
+        mxp = MarkerTraitSummaryStats(args.mxp_path, se_path=se_path, marker_ixs=marker_ixs)
+    else:
+        mxp = MarkerTraitSummaryStats(args.mxp_path, se_path=se_path, block=block)
+
+    if pxp.get_num_phen() != mxp.get_num_phen():
+        raise ValueError("Numbers of traits seem to differ between pxp and mxp")
+    if mxm.get_num_markers() != mxp.get_num_markers():
+        raise ValueError("Numbers of markers seem to differ between mxm and mxp")
+
+    sq_corrs, sq_ess = make_square_cuskss_inputs(
+        mxm, mxp, pxp, args.pearson_sample_size, args.hetcor
+    )
+    num_var = sq_corrs.shape[0]
+    gc = ReducedGC(
+        num_var=num_var,
+        num_phen=num_phen,
+        max_level=args.max_level_one,
+        new_to_old_indices=np.arange(num_var, dtype=np.int32),
+        G=np.ones((num_var, num_var), dtype=np.int32),
+        C=sq_corrs,
+        S=sq_ess,
+    )
+    if verbose:
+        print("Starting first cusk stage")
+    gc = run_cusk(
+        gc, th, args.depth, args.max_level_one, time_index_traits, verbose=verbose
+    )
+    if args.two_stage:
+        if verbose:
+            print("Starting second cusk stage")
+        gc = run_cusk(
+            gc, th, args.depth, args.max_level_two, time_index_traits, verbose=verbose
+        )
+    if verbose:
+        print(f"Retained {gc.num_markers()} markers")
+    if args.merged:
+        gc.to_file(make_path(args.outdir, "cuskss_merged", ""))
+    else:
+        gc.to_file(make_path(args.outdir, block.to_file_string(), ""))
+    return gc

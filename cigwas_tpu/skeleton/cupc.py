@@ -1,0 +1,321 @@
+"""Level-wise PC-stable skeleton search (cuPC-S equivalents).
+
+Deterministic TPU re-design of `Skeleton` (`cuPC-S.cu:61-450`) and
+`hetcor_skeleton` (`hetcor-cuPC-S.cu:75-341`):
+
+* level 0 is an elementwise Fisher-z screen of the whole correlation panel,
+* each level l >= 1 compacts neighbour lists on the host, enumerates
+  candidate conditioning sets in colex order (rank-independent of the node
+  degree, see :mod:`cigwas_tpu.utils.combinatorics`) and streams fixed-size
+  chunks through the batched device kernel
+  (:func:`cigwas_tpu.ops.pcorr.level_chunk_minz`),
+* edge deletion is the reduction ``min_z over all candidate sets < Th[l]``;
+  deletions apply between levels (PC-stable) exactly like the reference,
+  where the per-level neighbour lists ``GPrime`` are frozen at level start,
+* the separation set of a deleted ordered pair (X, Y) is the argmin-z
+  conditioning set found from X's side — deterministic, unlike the
+  reference's atomicCAS first-writer-wins (`cuPC-S.cu:570-577`; the
+  BASELINE parity target is adjacency-exact, sepsets valid up to
+  tie-breaking).
+
+A node stops enumerating when its candidate sets are exhausted or all of its
+edges were already condemned this level (the analogue of the reference's
+shared NoEdgeFlag early exit).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from cigwas_tpu.constants import ML, PMAX_RETAINED
+from cigwas_tpu.ops import pcorr as pcorr_ops
+from cigwas_tpu.utils.combinatorics import colex_combinations_chunk, colex_unrank
+from cigwas_tpu.utils.stats import fisher_z
+
+# combos per device chunk
+DEFAULT_CHUNK = 1024
+# cap on (nodes x combos x neighbours x l) elements held live per kernel call
+ELEM_BUDGET = 1 << 27
+
+
+@dataclass
+class SkeletonResult:
+    G: np.ndarray  # (n, n) int32 adjacency
+    sepset: np.ndarray | None  # (n, n, ML) int32, -1 padded
+    pmax: np.ndarray | None  # (n, n) float32
+    final_level: int
+
+
+def _next_pow2(v: int) -> int:
+    return 1 << max(0, (v - 1).bit_length())
+
+
+def _compact_neighbors(G: np.ndarray, nodes: np.ndarray, d_max: int) -> np.ndarray:
+    """Ascending neighbour indices per node, padded with 0 (`scan_compact`)."""
+    n = G.shape[1]
+    rows = G[nodes].astype(bool)
+    order = np.argsort(~rows, axis=1, kind="stable")  # neighbours first, ascending
+    nbrs = np.zeros((len(nodes), d_max), dtype=np.int32)
+    w = min(d_max, n)
+    nbrs[:, :w] = order[:, :w]
+    deg = rows.sum(axis=1).astype(np.int32)
+    # pad slots beyond deg with 0 (they are masked by deg in the kernel)
+    slot = np.arange(d_max)[None, :]
+    nbrs[slot >= deg[:, None]] = 0
+    return nbrs, deg
+
+
+def _level_minz(
+    C_dev,
+    G: np.ndarray,
+    l: int,
+    threshold_fn,
+    chunk: int,
+    hetcor_args=None,
+):
+    """Run all level-l tests; returns per-ordered-pair results.
+
+    threshold_fn(zmin) -> bool "passes" decides removal for the plain
+    skeleton; for hetcor the kernel already returns margins and
+    threshold_fn is None (margin < 0 means removal).
+
+    Returns (removed (n,n) bool, best_z dict-like arrays) where
+    best arrays are (n, n) zmin and (n, n) int64 combo rank (only for the
+    plain skeleton; hetcor returns removed only).
+    """
+    n = G.shape[0]
+    Gb = G.astype(bool)
+    deg_all = Gb.sum(axis=1)
+    active = np.where(deg_all >= l + 1)[0]
+    removed = np.zeros((n, n), dtype=bool)
+    if active.size == 0:
+        return removed, None, None
+
+    zmin_full = np.full((n, n), np.inf, dtype=np.float32)
+    rank_full = np.zeros((n, n), dtype=np.int64)
+
+    total_combos = {int(x): math.comb(int(deg_all[x]), l) for x in active}
+    offset = 0
+    remaining = list(int(x) for x in active)
+    while remaining:
+        nodes = np.array(remaining, dtype=np.int32)
+        d_max = int(deg_all[nodes].max())
+        d_pad = _next_pow2(max(d_max, 8))
+        # keep kernel memory bounded: tile the node list
+        combos_np = colex_combinations_chunk(offset, chunk, l)
+        combos_dev = jnp.asarray(combos_np)
+        per_node_elems = chunk * d_pad * max(l, 1)
+        node_tile = max(1, min(len(nodes), ELEM_BUDGET // per_node_elems))
+        if node_tile > 8:  # floor to a power of two to bound distinct shapes
+            node_tile = 1 << (node_tile.bit_length() - 1)
+        node_tile = min(node_tile, _next_pow2(len(nodes)))
+        for s0 in range(0, len(nodes), node_tile):
+            tile = nodes[s0 : s0 + node_tile]
+            pad = node_tile - len(tile)
+            tile_p = np.concatenate([tile, np.full(pad, tile[-1], np.int32)]) if pad else tile
+            nbrs, deg = _compact_neighbors(Gb, tile_p, d_pad)
+            left = np.array(
+                [min(max(total_combos.get(int(x), 0) - offset, 0), chunk) for x in tile_p],
+                dtype=np.int32,
+            )
+            if pad:
+                left[-pad:] = 0
+            if hetcor_args is None:
+                zc, kc = pcorr_ops.level_chunk_minz(
+                    C_dev,
+                    jnp.asarray(tile_p),
+                    jnp.asarray(nbrs),
+                    jnp.asarray(deg),
+                    combos_dev,
+                    jnp.asarray(left),
+                    l,
+                )
+                zc = np.asarray(zc)
+                kc = np.asarray(kc)
+            else:
+                N_dev, t_dev, th = hetcor_args
+                zc = np.asarray(
+                    pcorr_ops.level_chunk_hetcor(
+                        C_dev,
+                        N_dev,
+                        t_dev,
+                        jnp.asarray(tile_p),
+                        jnp.asarray(nbrs),
+                        jnp.asarray(deg),
+                        combos_dev,
+                        jnp.asarray(left),
+                        jnp.float32(th),
+                        l,
+                    )
+                )
+                kc = np.zeros_like(zc, dtype=np.int64)
+            # scatter chunk minima into the (n, n) accumulators
+            for ti in range(len(tile)):
+                x = int(tile[ti])
+                dx = int(deg[ti])
+                ys = nbrs[ti, :dx]
+                zx = zc[ti, :dx]
+                kx = kc[ti, :dx]
+                better = zx < zmin_full[x, ys]
+                upd = ys[better]
+                zmin_full[x, upd] = zx[better]
+                rank_full[x, upd] = offset + kx[better]
+        offset += chunk
+        # removal status so far this level
+        if hetcor_args is None:
+            cond = threshold_fn(zmin_full)
+        else:
+            cond = zmin_full < 0
+        cond = cond & Gb
+        removed = cond | cond.T
+        # prune finished nodes: combos exhausted, or all edges condemned
+        nxt = []
+        for x in remaining:
+            if total_combos[x] <= offset:
+                continue
+            ys = np.where(Gb[x])[0]
+            if removed[x, ys].all():
+                continue
+            nxt.append(x)
+        remaining = nxt
+
+    if hetcor_args is None:
+        cond = threshold_fn(zmin_full) & Gb
+    else:
+        cond = (zmin_full < 0) & Gb
+    removed = cond | cond.T
+    return removed, zmin_full, rank_full
+
+
+def skeleton(
+    C: np.ndarray,
+    thresholds: np.ndarray,
+    max_level: int,
+    chunk: int = DEFAULT_CHUNK,
+    verbose: bool = False,
+) -> SkeletonResult:
+    """PC-stable skeleton over a dense correlation panel.
+
+    Equivalent of `Skeleton` (`cuPC-S.cu:61-450`). Note the reference's
+    level-0 kernel *overwrites* the adjacency from the correlations
+    (`cal_Indepl0`, `cuPC-S.cu:458-484`), so no initial G is accepted here.
+    """
+    C = np.asarray(C, dtype=np.float32)
+    n = C.shape[0]
+    th = np.asarray(thresholds, dtype=np.float32)
+    sepset = np.full((n, n, ML), -1, dtype=np.int32)
+    pmax = np.zeros((n, n), dtype=np.float32)
+
+    # level 0: marginal screen, overwrites G
+    with np.errstate(invalid="ignore", divide="ignore"):
+        z0 = fisher_z(C)
+    # reference deletes iff res < th (`cuPC-S.cu:466-477`), so NaN keeps the edge
+    deleted0 = z0 < th[0]
+    G = ~deleted0
+    np.fill_diagonal(G, False)
+    np.fill_diagonal(deleted0, False)
+    pmax[deleted0] = z0[deleted0]
+
+    C_dev = jnp.asarray(C)
+    final_level = 0
+    for l in range(1, min(ML, max_level) + 1):
+        deg = G.sum(axis=1)
+        nprime = int(deg.max()) if n else 0
+        if nprime - 1 < l:
+            final_level = l - 1
+            break
+        if verbose:
+            print(f"[skeleton] level {l}: max degree {nprime}")
+        removed, zmin, rank = _level_minz(
+            C_dev, G.astype(np.int32), l, lambda z: z < th[l], chunk
+        )
+        # record sepsets & pmax for ordered pairs whose own side passed
+        side = (zmin < th[l]) & G
+        xs, ys = np.nonzero(side)
+        for x, y in zip(xs, ys):
+            nbr_x = np.where(G[x])[0]
+            pos = colex_unrank(int(rank[x, y]), l)
+            sepset[x, y, :l] = nbr_x[pos]
+            sepset[x, y, l:] = -1
+            pmax[x, y] = zmin[x, y]
+        G = G & ~removed
+        final_level = l
+    else:
+        final_level = min(ML, max_level)
+
+    # pMax post-processing (`cuPC-S.cu:424-442`)
+    np.fill_diagonal(pmax, 1.0)
+    iu = np.triu_indices(n, k=1)
+    upper_edges = G[iu]
+    mx = np.maximum(pmax[iu], pmax[(iu[1], iu[0])])
+    vals = np.where(upper_edges, PMAX_RETAINED, mx)
+    pmax[iu] = vals
+    pmax[(iu[1], iu[0])] = vals
+
+    return SkeletonResult(
+        G=G.astype(np.int32), sepset=sepset, pmax=pmax, final_level=final_level
+    )
+
+
+def hetcor_skeleton(
+    C: np.ndarray,
+    G: np.ndarray,
+    N: np.ndarray,
+    threshold: float,
+    max_level: int,
+    time_index: np.ndarray | None = None,
+    chunk: int = DEFAULT_CHUNK,
+    verbose: bool = False,
+) -> SkeletonResult:
+    """Skeleton with per-pair effective sample sizes and time constraints.
+
+    Equivalent of `hetcor_skeleton` (`hetcor-cuPC-S.cu:75-341`): honours the
+    incoming adjacency (level 0 only deletes), uses per-test thresholds
+    th / sqrt(mean_ess - l - 3), and returns adjacency only (no sepsets).
+    """
+    C = np.asarray(C, dtype=np.float32)
+    n = C.shape[0]
+    G = np.asarray(G).astype(bool).copy()
+    N = np.asarray(N, dtype=np.float32)
+    if time_index is None:
+        time_index = np.zeros(n, dtype=np.int32)
+    time_index = np.asarray(time_index, dtype=np.int32)
+
+    # level 0: delete-only marginal screen with per-pair N
+    z0 = fisher_z(C)
+    with np.errstate(invalid="ignore"):
+        loc_th = threshold / np.sqrt(N - 3.0)
+    delete0 = z0 < loc_th
+    G &= ~delete0
+    np.fill_diagonal(G, False)
+
+    C_dev = jnp.asarray(C)
+    N_dev = jnp.asarray(N)
+    t_dev = jnp.asarray(time_index)
+    final_level = 0
+    for l in range(1, min(ML, max_level) + 1):
+        deg = G.sum(axis=1)
+        nprime = int(deg.max()) if n else 0
+        if nprime - 1 < l:
+            final_level = l - 1
+            break
+        if verbose:
+            print(f"[hetcor_skeleton] level {l}: max degree {nprime}")
+        removed, _, _ = _level_minz(
+            C_dev,
+            G.astype(np.int32),
+            l,
+            None,
+            chunk,
+            hetcor_args=(N_dev, t_dev, float(threshold)),
+        )
+        G = G & ~removed
+        final_level = l
+    else:
+        final_level = min(ML, max_level)
+
+    return SkeletonResult(G=G.astype(np.int32), sepset=None, pmax=None, final_level=final_level)

@@ -1,0 +1,147 @@
+import numpy as np
+import pytest
+
+from cigwas_tpu.constants import ML, PMAX_RETAINED
+from cigwas_tpu.skeleton import hetcor_skeleton, skeleton
+from cigwas_tpu.utils.stats import fisher_z, hetcor_threshold, threshold_array
+
+
+def test_skeleton_n10_golden_adjacency(n10_fixture):
+    """Pins the reference's `cuPC.expected_skeleton_n10` ctest
+    (`cupc_tests.cpp:17-41`): exact adjacency parity."""
+    C, A, alpha, n = n10_fixture
+    res = skeleton(C, threshold_array(n, alpha), 14)
+    assert np.array_equal(res.G, A)
+
+
+def test_hetcor_skeleton_n10_golden_adjacency(n10_fixture):
+    """Pins `hetcor_cuPC.expected_skeleton_n10` (`cupc_tests.cpp:65-88`):
+    constant ESS matrix must reproduce the same adjacency."""
+    C, A, alpha, n = n10_fixture
+    N = np.full_like(C, float(n))
+    res = hetcor_skeleton(
+        C, np.ones_like(A), N, hetcor_threshold(alpha), 14
+    )
+    assert np.array_equal(res.G, A)
+
+
+def test_skeleton_sepsets_are_valid_separators():
+    """Sepsets must actually separate: conditioning on the recorded set makes
+    the pair's partial correlation drop below the level threshold.
+
+    Uses a sparse random DAG whose skeleton requires level >= 1 deletions
+    (for the N10 fixture every deletion already happens at level 0)."""
+    rng = np.random.default_rng(5)
+    n_var, n = 8, 40000
+    # chain with a few extra parents -> plenty of conditional independencies
+    X = np.zeros((n_var, n))
+    X[0] = rng.normal(size=n)
+    for i in range(1, n_var):
+        X[i] = 0.7 * X[i - 1] + rng.normal(size=n)
+    C = np.corrcoef(X).astype(np.float32)
+    th = threshold_array(n, 1e-4)
+    res = skeleton(C, th, 14)
+    found_any = False
+    for x in range(n_var):
+        for y in range(n_var):
+            S = res.sepset[x, y]
+            S = S[S >= 0]
+            if len(S) == 0:
+                continue
+            found_any = True
+            assert res.G[x, y] == 0  # only deleted pairs have sepsets
+            ixs = np.concatenate([[x, y], S])
+            prec = np.linalg.inv(C[np.ix_(ixs, ixs)])
+            pc = -prec[0, 1] / np.sqrt(prec[0, 0] * prec[1, 1])
+            assert fisher_z(pc) < th[len(S)]
+    assert found_any
+
+
+def test_skeleton_pmax_retained_marker(n10_fixture):
+    C, A, alpha, n = n10_fixture
+    res = skeleton(C, threshold_array(n, alpha), 14)
+    assert np.all(res.pmax[res.G.astype(bool)] == PMAX_RETAINED)
+    assert np.all(np.diag(res.pmax) == 1.0)
+    assert np.allclose(res.pmax, res.pmax.T)
+
+
+def test_skeleton_max_level_zero_is_marginal_screen(n10_fixture):
+    C, A, alpha, n = n10_fixture
+    th = threshold_array(n, alpha)
+    res = skeleton(C, th, 0)
+    exp = (fisher_z(C) >= th[0]).astype(np.int32)
+    np.fill_diagonal(exp, 0)
+    assert np.array_equal(res.G, exp)
+
+
+def test_hetcor_honors_initial_graph(n10_fixture):
+    """hetcor level 0 deletes only — edges absent from the input adjacency
+    must never reappear (`cal_Indepl0_ess`, commented-out else branch)."""
+    C, A, alpha, n = n10_fixture
+    N = np.full_like(C, float(n))
+    G0 = np.ones_like(A)
+    G0[0, :] = 0
+    G0[:, 0] = 0
+    res = hetcor_skeleton(C, G0, N, hetcor_threshold(alpha), 14)
+    assert np.all(res.G[0] == 0)
+    assert np.all(res.G[:, 0] == 0)
+
+
+def test_hetcor_time_index_blocks_conditioning():
+    """A conditioning variable with a later time index than both endpoints
+    must be skipped (`valid_time_conditioning`)."""
+    # build a chain x - z - y where z separates x and y
+    rng = np.random.default_rng(7)
+    z = rng.normal(size=20000)
+    x = z + rng.normal(size=20000)
+    y = z + rng.normal(size=20000)
+    C = np.corrcoef(np.stack([x, y, z]))
+    n = 20000
+    N = np.full((3, 3), float(n), dtype=np.float32)
+    th = hetcor_threshold(1e-3)
+    # without time constraint: z separates x,y -> edge (0,1) removed
+    res = hetcor_skeleton(C, np.ones((3, 3), np.int32), N, th, 14)
+    assert res.G[0, 1] == 0
+    # with z at a later time index, conditioning on z is forbidden -> edge kept
+    res_t = hetcor_skeleton(
+        C,
+        np.ones((3, 3), np.int32),
+        N,
+        th,
+        14,
+        time_index=np.array([0, 0, 5], dtype=np.int32),
+    )
+    assert res_t.G[0, 1] == 1
+
+
+def test_hetcor_per_pair_ess_level0():
+    """Level-0 deletion uses the per-pair N: a weak correlation with small
+    ESS is deleted, with large ESS it is retained."""
+    C = np.array([[1.0, 0.05], [0.05, 1.0]], dtype=np.float32)
+    th = hetcor_threshold(1e-4)
+    small = hetcor_skeleton(C, np.ones((2, 2), np.int32), np.full((2, 2), 100.0), th, 0)
+    large = hetcor_skeleton(
+        C, np.ones((2, 2), np.int32), np.full((2, 2), 500000.0), th, 0
+    )
+    assert small.G[0, 1] == 0
+    assert large.G[0, 1] == 1
+
+
+def test_skeleton_chain_graph_exact():
+    """Markov chain x0 -> x1 -> x2 -> x3: skeleton must be the path graph."""
+    rng = np.random.default_rng(11)
+    n = 50000
+    x0 = rng.normal(size=n)
+    x1 = x0 + rng.normal(size=n)
+    x2 = x1 + rng.normal(size=n)
+    x3 = x2 + rng.normal(size=n)
+    C = np.corrcoef(np.stack([x0, x1, x2, x3])).astype(np.float32)
+    res = skeleton(C, threshold_array(n, 1e-4), 14)
+    exp = np.zeros((4, 4), dtype=np.int32)
+    for i in range(3):
+        exp[i, i + 1] = exp[i + 1, i] = 1
+    assert np.array_equal(res.G, exp)
+    # x0 and x2 separated by x1
+    assert 1 in set(res.sepset[0, 2][res.sepset[0, 2] >= 0]) or 1 in set(
+        res.sepset[2, 0][res.sepset[2, 0] >= 0]
+    )
