@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Benchmark: conditional-independence test throughput on one chip.
+
+Runs the fused flagship step on a synthetic LD block: 2-bit decode ->
+Kendall-npn contingency panel (MXU) -> level-0 Fisher screen -> dense
+level-1 CI sweep (all pairs x all single conditioning sets). The headline
+metric is CI tests per second per chip (the driver's BASELINE.json metric);
+the reference repo publishes no numbers (BASELINE.md), so vs_baseline is
+reported as 1.0 by definition.
+
+Prints ONE JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+M = int(os.environ.get("CIGWAS_BENCH_M", 1024))  # markers
+N = int(os.environ.get("CIGWAS_BENCH_N", 16384))  # individuals
+P = 8  # traits
+REPS = int(os.environ.get("CIGWAS_BENCH_REPS", 3))
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from cigwas_tpu.ops.corr import _kendall_from_counts
+    from cigwas_tpu.ops.decode import geno_onehot, geno_value_valid, unpack_bed_codes
+    from cigwas_tpu.utils.stats import threshold_array
+
+    th = threshold_array(N, 1e-4)
+    th0, th1 = float(th[0]), float(th[1])
+    m, p = M, P
+
+    @jax.jit
+    def step(bed_bytes, phen):
+        codes = unpack_bed_codes(bed_bytes)
+        X = geno_onehot(codes).reshape(3 * m, -1)
+        counts = jnp.dot(X, X.T, preferred_element_type=jnp.float32)
+        C_mm = _kendall_from_counts(counts.reshape(m, 3, m, 3).transpose(0, 2, 1, 3))
+        vals, valid = geno_value_valid(codes)
+        n_val = valid.sum(axis=1, keepdims=True)
+        mean = (vals * valid).sum(axis=1, keepdims=True) / n_val
+        std = jnp.sqrt(((vals - mean) ** 2 * valid).sum(axis=1, keepdims=True) / n_val)
+        C_mp = (jnp.dot(vals * valid, phen.T) - mean * jnp.dot(valid, phen.T)) / (
+            n_val * std
+        )
+        C_pp = jnp.dot(phen, phen.T) / phen.shape[1]
+        C = jnp.concatenate(
+            [
+                jnp.concatenate([C_mm, C_mp], axis=1),
+                jnp.concatenate([C_mp.T, C_pp], axis=1),
+            ],
+            axis=0,
+        )
+        v = C.shape[0]
+        C = jnp.where(jnp.eye(v, dtype=bool), 1.0, C)
+        z0 = jnp.abs(0.5 * jnp.log(jnp.abs((1 + C) / (1 - C))))
+        G0 = (z0 >= th0) & ~jnp.eye(v, dtype=bool)
+        # dense level-1 sweep in row tiles to bound memory
+        TILE = 128
+
+        def tile_body(t, G):
+            rows = jax.lax.dynamic_slice(C, (t * TILE, 0), (TILE, v))
+            cxs = rows[:, None, :]
+            cys = C[None, :, :]
+            rho = (rows[:, :, None] - cxs * cys) / jnp.sqrt(
+                jnp.abs((1 - cxs**2) * (1 - cys**2))
+            )
+            z1 = jnp.abs(0.5 * jnp.log(jnp.abs((1 + rho) / (1 - rho))))
+            s_ix = jnp.arange(v)
+            x_ix = t * TILE + jnp.arange(TILE)
+            mask = (s_ix[None, None, :] == x_ix[:, None, None]) | (
+                s_ix[None, None, :] == s_ix[None, :, None]
+            )
+            z1 = jnp.where(mask | ~jnp.isfinite(z1), jnp.inf, z1)
+            keep = jnp.min(z1, axis=2) >= th1
+            return jax.lax.dynamic_update_slice(
+                G, jax.lax.dynamic_slice(G, (t * TILE, 0), (TILE, v)) & keep, (t * TILE, 0)
+            )
+
+        G = jax.lax.fori_loop(0, v // TILE, tile_body, G0)
+        return G.astype(jnp.int8)
+
+    # reduce the output to one scalar on-device so the timed fetch carries
+    # negligible transfer; on the remote platform block_until_ready() does
+    # not synchronize — only a value fetch does
+    @jax.jit
+    def step_sum(bed_bytes, phen):
+        return step(bed_bytes, phen).astype(jnp.int32).sum()
+
+    rng = np.random.default_rng(0)
+    phen = rng.normal(size=(p, N)).astype(np.float32)
+    phen_d = jax.device_put(phen)
+    beds = [
+        jax.device_put(rng.integers(0, 256, size=(m, N // 4), dtype=np.uint8))
+        for _ in range(REPS + 1)
+    ]
+
+    # warmup/compile (fetch to force completion)
+    int(step_sum(beds[0], phen_d))
+
+    times = []
+    for r in range(REPS):
+        t0 = time.perf_counter()
+        int(step_sum(beds[r + 1], phen_d))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    v = m + p
+    tile_rows = (v // 128) * 128
+    # level-0 tests (v^2) + level-1 sweep tests (tiled rows x v pairs x v sets)
+    ci_tests = v * v + tile_rows * v * v
+    tests_per_sec = ci_tests / dt
+
+    result = {
+        "metric": "ci_tests_per_sec_per_chip",
+        "value": round(tests_per_sec, 1),
+        "unit": "CI tests/s (level-0+1 partial-corr tests, fused step)",
+        "vs_baseline": 1.0,
+        "block_markers": m,
+        "individuals": N,
+        "step_seconds": round(dt, 4),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

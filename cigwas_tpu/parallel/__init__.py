@@ -1,0 +1,5 @@
+from cigwas_tpu.parallel.mesh import make_mesh
+from cigwas_tpu.parallel.spmd import build_multichip_cusk_step
+from cigwas_tpu.parallel.block_scheduler import partition_blocks
+
+__all__ = ["make_mesh", "build_multichip_cusk_step", "partition_blocks"]

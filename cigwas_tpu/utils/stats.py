@@ -17,8 +17,11 @@ def fisher_z(v):
     """|0.5 * log|(1+v)/(1-v)|| — the absolute Fisher z-transform.
 
     Matches `sepselect.py:21-22` and the in-kernel formula of the reference
-    (`cuPC-S.cu:465`). Works on numpy or jax arrays.
+    (`cuPC-S.cu:465`). Works on numpy or jax arrays; |v| = 1 maps to +inf.
     """
+    if isinstance(v, np.ndarray):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.abs(0.5 * np.log(np.abs((1 + v) / (1 - v))))
     return np.abs(0.5 * np.log(np.abs((1 + v) / (1 - v))))
 
 

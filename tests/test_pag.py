@@ -1,0 +1,145 @@
+"""Tests of the R1-R10 PAG orientation port.
+
+Hand-constructed PAGs with known rule firings (edge codes: 0 none, 1 circle,
+2 arrowhead, 3 tail; apag[i, j] is the mark at j).
+"""
+
+import numpy as np
+import pytest
+
+from cigwas_tpu.pag.rfci import (
+    estimate_pag,
+    faith_check,
+    min_discr_path,
+    min_uncov_pd_path,
+    rule1,
+    rule2,
+    rule8,
+    rule9,
+    triple2numb,
+    udag2apag,
+)
+
+
+def edge(g, i, j, mark_at_j, mark_at_i):
+    g[i, j] = mark_at_j
+    g[j, i] = mark_at_i
+
+
+def test_rule1_orients_unshielded_collider_tail():
+    # a *-> b o-* c with a, c non-adjacent: orient b -> c (R1)
+    g = np.zeros((3, 3), dtype=np.int32)
+    edge(g, 0, 1, 2, 1)  # a o-> b
+    edge(g, 1, 2, 1, 1)  # b o-o c
+    out = rule1(g.copy(), set())
+    assert out[1, 2] == 2 and out[2, 1] == 3
+
+
+def test_rule1_respects_ambiguous_triples():
+    g = np.zeros((3, 3), dtype=np.int32)
+    edge(g, 0, 1, 2, 1)
+    edge(g, 1, 2, 1, 1)
+    p = 3
+    unf = {triple2numb(p, 0 + 1, 1 + 1, 2 + 1)}
+    out = rule1(g.copy(), unf)
+    assert out[1, 2] == 1  # unchanged
+
+
+def test_rule2_directed_path_forces_arrowhead():
+    # a -> b *-> c and a o-* c: orient a *-> c
+    g = np.zeros((3, 3), dtype=np.int32)
+    edge(g, 0, 1, 2, 3)  # a -> b
+    edge(g, 1, 2, 2, 1)  # b o-> c
+    edge(g, 0, 2, 1, 1)  # a o-o c
+    out = rule2(g.copy(), set())
+    assert out[0, 2] == 2
+
+
+def test_rule8_tail_completion():
+    # a -> b -> c and a o-> c: orient a -> c (tail at a)
+    g = np.zeros((3, 3), dtype=np.int32)
+    edge(g, 0, 1, 2, 3)  # a -> b
+    edge(g, 1, 2, 2, 3)  # b -> c
+    edge(g, 0, 2, 2, 1)  # a o-> c
+    out = rule8(g.copy(), set())
+    assert out[2, 0] == 3
+
+
+def test_rule9_uncovered_pd_path():
+    # a o-> c plus an uncovered pd path a -> b -> d -> c: orient tail at a
+    g = np.zeros((4, 4), dtype=np.int32)
+    a, b, d, c = 0, 1, 2, 3
+    edge(g, a, c, 2, 1)  # a o-> c
+    edge(g, a, b, 2, 3)  # a -> b
+    edge(g, b, d, 2, 3)  # b -> d
+    edge(g, d, c, 2, 3)  # d -> c
+    out = rule9(g.copy(), set())
+    assert out[c, a] == 3
+
+
+def test_min_uncov_pd_path_direct_triangle_rejected():
+    # covered path must not count: a-b-c with a adjacent to c
+    g = np.zeros((3, 3), dtype=np.int32)
+    edge(g, 0, 1, 1, 1)
+    edge(g, 1, 2, 1, 1)
+    edge(g, 0, 2, 1, 1)
+    assert min_uncov_pd_path(3, g, 0, 1, 2, set()) is None
+
+
+def test_min_discr_path_simple():
+    # classic discriminating path d *-> a <-> b o-* c, d -> c absent,
+    # a -> c: path (d, a, b, c)
+    g = np.zeros((4, 4), dtype=np.int32)
+    d, a, b, c = 0, 1, 2, 3
+    edge(g, d, a, 2, 1)  # d o-> a
+    edge(g, a, b, 2, 2)  # a <-> b
+    edge(g, b, c, 1, 2)  # b <-o c ... b is endpoint under test
+    edge(g, a, c, 2, 3)  # a -> c
+    res = min_discr_path(g, a, b, c)
+    assert res == [d, a, b, c]
+
+
+def test_faith_check_empty_unf_always_true():
+    assert faith_check([0, 1, 2, 3], set(), 10)
+
+
+def test_udag2apag_fixpoint_chain():
+    # skeleton a o-o b o-o c with collider at b pre-oriented by sepselect:
+    # a *-> b <-* c; R-rules should leave collider intact
+    g = np.zeros((3, 3), dtype=np.int32)
+    edge(g, 0, 1, 2, 1)
+    edge(g, 2, 1, 2, 1)
+    out = udag2apag(g, {})
+    assert out[0, 1] == 2 and out[2, 1] == 2
+
+
+def test_estimate_pag_end_to_end(tmp_path):
+    """Drive the production driver on a tiny sepselect-style fileset."""
+    from cigwas_tpu.io.binary import write_coo_mtx
+
+    stem = str(tmp_path / "max_sep_min_pc")
+    num_phen, num_var = 3, 5
+    with open(stem + ".mdim", "w") as f:
+        f.write(f"{num_var}\t{num_phen}\t2\t0\t1\n")
+    # spm: traits 0,1,2; markers 3,4. v-structure 0 *-> 1 <-* 2 plus
+    # marker-trait circles
+    spm = np.zeros((num_var, num_var), dtype=np.int32)
+    edge(spm, 0, 1, 2, 1)
+    edge(spm, 2, 1, 2, 1)
+    edge(spm, 3, 0, 1, 1)
+    edge(spm, 4, 2, 1, 1)
+    write_coo_mtx(stem + "_spm.mtx", spm, integer=True)
+    with open(stem + ".ssm", "w") as f:
+        f.write("1 3 2\n")  # sepset(0, 2) = {1} (1-based)
+    np.zeros((0, 3), dtype=np.int32).tofile(stem + ".atr")
+    np.array([[0, 1, 2]], dtype=np.int32).tofile(stem + ".ut")
+
+    out = estimate_pag(stem, 1e-3, 10000, verbose=False)
+    # marker->trait forced: marker rows get arrowheads, trait rows tails
+    assert out[3, 0] == 2 and out[0, 3] == 3
+    assert out[4, 2] == 2 and out[2, 4] == 3
+    # collider marks preserved
+    assert out[0, 1] == 2 and out[2, 1] == 2
+    import os
+
+    assert os.path.exists(stem + "_estimated_pag.mtx")
