@@ -1,3 +1,3 @@
-from cigwas_tpu.mr.mvivw import run_mvivw, mv_ivw_regression
+from cigwas_tpu.mr.mvivw import run_mvivw, run_mvivw_filtered, mv_ivw_regression
 
-__all__ = ["run_mvivw", "mv_ivw_regression"]
+__all__ = ["run_mvivw", "run_mvivw_filtered", "mv_ivw_regression"]

@@ -202,3 +202,65 @@ def run_mvivw(
         out["sk_adj"] = out["sk_adj"].map({True: "TRUE", False: "FALSE"})
         out.to_csv(out_path, sep="\t", index=False)
     return df
+
+
+def run_mvivw_filtered(
+    cusk_output_dir: str,
+    num_samples: int,
+    iv_df,
+    out_path: str | None = None,
+    robust: bool = True,
+):
+    """Filtered-IV variant using a per-(exposure, outcome) IV table.
+
+    Equivalent of `mvivw/cig_mvivw_filtered.R`: per outcome, the instrument
+    set is the union of IVs listed for that outcome (1-based SNP indices)
+    and the exposures those rows name; reads the cuskss_merged fileset.
+    """
+    import pandas as pd
+
+    stem = f"{cusk_output_dir}/cuskss_merged"
+    num_var, num_trait, *_ = load_mdim(stem)
+    corrs = mmread(f"{stem}_scm.mtx").toarray()
+    adj = mmread(f"{stem}_sam.mtx").toarray()
+    pxp_adj = adj[:num_trait, :num_trait]
+    B = corrs[:num_trait, num_trait:].T
+    SE = (1 - B * B) / np.sqrt(num_samples - 2)
+
+    iv_df = pd.DataFrame(iv_df)
+    rows = []
+    for outcome in range(num_trait):
+        sel = iv_df[iv_df["Outcome"] == outcome + 1]
+        ivs = np.unique(sel["IV"].to_numpy()) - 1  # to 0-based SNP rows
+        exposures = np.unique(sel["Exposure"].to_numpy()) - 1
+        bx = B[np.ix_(ivs, exposures)] if len(ivs) and len(exposures) else np.zeros((0, 0))
+        by = B[ivs, outcome] if len(ivs) else np.zeros(0)
+        byse = SE[ivs, outcome] if len(ivs) else np.zeros(0)
+        sufficient = bx.shape[0] > bx.shape[1] and bx.shape[1] > 0
+        est = pvals = None
+        if sufficient:
+            est, _, pvals = mv_ivw_regression(bx, by, byse, robust=robust)
+        for exposure in range(num_trait):
+            if exposure == outcome:
+                continue
+            if sufficient and exposure in exposures:
+                k = int(np.where(exposures == exposure)[0][0])
+                eff, p = float(est[k]), float(pvals[k])
+            else:
+                eff, p = 0.0, 1.0
+            rows.append(
+                {
+                    "source": exposure + 1,
+                    "sink": outcome + 1,
+                    "effect": eff,
+                    "p": p,
+                    "sk_adj": bool(pxp_adj[exposure, outcome] == 1),
+                    "num_snps": int(bx.shape[0]),
+                }
+            )
+    df = pd.DataFrame(rows)
+    if out_path is not None:
+        out = df.copy()
+        out["sk_adj"] = out["sk_adj"].map({True: "TRUE", False: "FALSE"})
+        out.to_csv(out_path, sep="\t", index=False)
+    return df

@@ -145,3 +145,44 @@ def test_skeleton_chain_graph_exact():
     assert 1 in set(res.sepset[0, 2][res.sepset[0, 2] >= 0]) or 1 in set(
         res.sepset[2, 0][res.sepset[2, 0] >= 0]
     )
+
+
+def test_second_stage_n10_golden_adjacency(n10_fixture):
+    """Pins `cusk_second_stage.expected_skeleton_n10` (`cupc_tests.cpp:43-63`)."""
+    from cigwas_tpu.skeleton.second_stage import cusk_second_stage
+
+    C, A, alpha, n = n10_fixture
+    res = cusk_second_stage(C, np.ones_like(A), threshold_array(n, alpha))
+    assert np.array_equal(res.G, A)
+
+
+def test_second_stage_sepsets_lower_pcorr():
+    """Second-stage sepsets must contain exactly the single-var conditioners
+    that lower the Fisher z below the marginal value."""
+    from cigwas_tpu.skeleton.second_stage import cusk_second_stage
+
+    rng = np.random.default_rng(3)
+    n = 30000
+    z = rng.normal(size=n)
+    x = z + rng.normal(size=n)
+    y = z + rng.normal(size=n)
+    w = rng.normal(size=n)
+    C = np.corrcoef(np.stack([x, y, z, w])).astype(np.float32)
+    th = threshold_array(n, 1e-2)
+    res = cusk_second_stage(C, np.ones((4, 4), np.int32), th)
+    # pair (x, y): conditioning on z lowers z-statistic; w does not
+    sep = res.sepset[0, 1]
+    sep = set(sep[sep >= 0].tolist())
+    assert 2 in sep
+    assert 3 not in sep
+
+
+def test_second_stage_degree_cap():
+    from cigwas_tpu.skeleton.second_stage import PCORR_MAX_DEGREE, cusk_second_stage
+
+    n = PCORR_MAX_DEGREE + 5
+    # equicorrelated panel keeps every edge at level 0 -> degree > cap
+    C = np.full((n, n), 0.5, dtype=np.float32)
+    np.fill_diagonal(C, 1.0)
+    with pytest.raises(ValueError, match="max degree"):
+        cusk_second_stage(C, np.ones((n, n), np.int32), threshold_array(10000, 1e-4))
