@@ -61,24 +61,25 @@ def main() -> int:
         C = jnp.where(jnp.eye(v, dtype=bool), 1.0, C)
         z0 = jnp.abs(0.5 * jnp.log(jnp.abs((1 + C) / (1 - C))))
         G0 = (z0 >= th0) & ~jnp.eye(v, dtype=bool)
-        # dense level-1 sweep in row tiles to bound memory
+        # dense level-1 sweep in row tiles; |atanh(rho)| < th  <=>
+        # |rho| < tanh(th), so the inner loop is transcendental-free
         TILE = 128
+        rho_th1 = jnp.tanh(jnp.float32(th1))
 
         def tile_body(t, G):
             rows = jax.lax.dynamic_slice(C, (t * TILE, 0), (TILE, v))
             cxs = rows[:, None, :]
             cys = C[None, :, :]
-            rho = (rows[:, :, None] - cxs * cys) / jnp.sqrt(
+            rho = jnp.abs(rows[:, :, None] - cxs * cys) * jax.lax.rsqrt(
                 jnp.abs((1 - cxs**2) * (1 - cys**2))
             )
-            z1 = jnp.abs(0.5 * jnp.log(jnp.abs((1 + rho) / (1 - rho))))
             s_ix = jnp.arange(v)
             x_ix = t * TILE + jnp.arange(TILE)
             mask = (s_ix[None, None, :] == x_ix[:, None, None]) | (
                 s_ix[None, None, :] == s_ix[None, :, None]
             )
-            z1 = jnp.where(mask | ~jnp.isfinite(z1), jnp.inf, z1)
-            keep = jnp.min(z1, axis=2) >= th1
+            rho = jnp.where(mask | ~jnp.isfinite(rho), jnp.float32(2.0), rho)
+            keep = jnp.min(rho, axis=2) >= rho_th1
             return jax.lax.dynamic_update_slice(
                 G, jax.lax.dynamic_slice(G, (t * TILE, 0), (TILE, v)) & keep, (t * TILE, 0)
             )

@@ -2,7 +2,7 @@
 
 The reference runs one CUDA thread per (node, combination) with hand-unrolled
 SVD pseudo-inverses per level (`cuPC-S.cu:486-3020`). Here a level is a dense
-batched computation: for a tile of nodes X, a chunk of K candidate
+batched computation: for a tile of nodes X, chunks of K candidate
 conditioning sets S (position tuples into each node's neighbour list, shared
 across nodes thanks to colex enumeration) and all neighbour slots Y at once:
 
@@ -12,17 +12,25 @@ across nodes thanks to colex enumeration) and all neighbour slots Y at once:
     H01   = C[X,Y] - C[Y,S]·t        (K, d)
     H11   = 1 - C[Y,S]·M2^-1·C[Y,S]  (K, d)
     rho   = H01 / sqrt(|H00 H11|)
-    z     = |atanh(rho)|  (Fisher)
 
-which is the identical Schur-complement formulation of
-`cuPC-S.cu:664-699`. The inner contractions are MXU/VPU friendly and the
-min-z reduction over K replaces the atomicCAS edge mutex with a deterministic
-reduction (removing the reference's sepset tie-break nondeterminism).
+which is the identical Schur-complement formulation of `cuPC-S.cu:664-699`.
+
+Two TPU-first design points:
+
+* the Fisher z-transform is monotonic in |rho|, so the per-test
+  ``|atanh(rho)| < Th`` of the reference becomes ``|rho| < tanh(Th)`` with
+  the tanh evaluated once on the host — the inner sweep runs free of
+  transcendentals on the VPU,
+* a whole batch of candidate-set chunks is processed per device dispatch
+  with ``lax.scan`` (the remote-TPU dispatch latency makes per-chunk host
+  round trips prohibitive); the min-|rho| reduction over chunks replaces the
+  reference's atomicCAS edge mutex with a deterministic reduction (removing
+  its sepset tie-break nondeterminism).
 
 Small conditioning matrices are inverted with closed forms for l <= 3 and
-batched LU (`jnp.linalg.inv`) above; near-singular sets produce |rho| ~ 1 and
-a huge z, i.e. "dependent", which errs on the side of keeping edges like the
-reference's pseudo-inverse path.
+batched LU (`jnp.linalg.inv`) above; near-singular sets produce |rho| ~ 1,
+i.e. "dependent", which errs toward keeping edges like the reference's
+pseudo-inverse path.
 """
 
 from __future__ import annotations
@@ -32,7 +40,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-BIG = jnp.float32(3.0e38)
+# sentinel for invalid tests; |rho| <= 1 for any valid test
+RHO_BIG = jnp.float32(2.0)
+MARGIN_BIG = jnp.float32(3.0e38)
 
 
 def _inv_small(M: jnp.ndarray, l: int) -> jnp.ndarray:
@@ -75,15 +85,10 @@ def _inv_small(M: jnp.ndarray, l: int) -> jnp.ndarray:
     return jnp.linalg.inv(M)
 
 
-def _fisher_z(rho: jnp.ndarray) -> jnp.ndarray:
-    return jnp.abs(0.5 * jnp.log(jnp.abs((1.0 + rho) / (1.0 - rho))))
+def _pcorr_rho_node(C, x, nbrs_x, deg_x, combos, combos_left, l: int):
+    """Per-node level-l |rho| for one chunk of candidate sepsets.
 
-
-def _pcorr_z_node(C, x, nbrs_x, deg_x, combos, combos_left, l: int):
-    """Per-node level-l statistics for one chunk of candidate sepsets.
-
-    Returns z: (K, d) Fisher statistics (BIG where the test is invalid) and
-    S: (K, l) the conditioning variable indices per combo.
+    Returns |rho|: (K, d) (RHO_BIG where the test is invalid) and S: (K, l).
     """
     K, _ = combos.shape
     d = nbrs_x.shape[0]
@@ -98,8 +103,7 @@ def _pcorr_z_node(C, x, nbrs_x, deg_x, combos, combos_left, l: int):
     H01 = C0Y[None, :] - jnp.einsum("kdl,kl->kd", M1Y, t)  # (K, d)
     V = jnp.einsum("kij,kdj->kdi", M2inv, M1Y)
     H11 = 1.0 - jnp.einsum("kdi,kdi->kd", V, M1Y)  # (K, d)
-    rho = H01 / jnp.sqrt(jnp.abs(H00[:, None] * H11))
-    z = _fisher_z(rho)
+    rho = jnp.abs(H01) * jax.lax.rsqrt(jnp.abs(H00[:, None] * H11))
 
     k_ix = jnp.arange(K)
     slot_ix = jnp.arange(d)
@@ -107,80 +111,104 @@ def _pcorr_z_node(C, x, nbrs_x, deg_x, combos, combos_left, l: int):
     slot_ok = slot_ix < deg_x  # (d,)
     y_in_S = jnp.any(combos[:, None, :] == slot_ix[None, :, None], axis=-1)  # (K, d)
     invalid = (~combo_ok[:, None]) | (~slot_ok[None, :]) | y_in_S
-    z = jnp.where(invalid | ~jnp.isfinite(z), BIG, z)
-    return z, S
+    rho = jnp.where(invalid | ~jnp.isfinite(rho), RHO_BIG, rho)
+    return rho, S
 
 
 @partial(jax.jit, static_argnames=("l",))
-def level_chunk_minz(C, node_ixs, nbrs, deg, combos, combos_left, l: int):
-    """Chunk of level-l CI tests for a tile of nodes.
+def level_scan_minrho(C, node_ixs, nbrs, deg, combos_seq, left_seq, offsets, l: int):
+    """Many chunks of level-l CI tests in ONE dispatch.
 
-    C: (n, n) f32; node_ixs: (nt,) global node indices of the tile;
-    nbrs: (nt, d) int32; deg: (nt,); combos: (K, l) colex position tuples;
-    combos_left: (nt,) number of valid chunk rows per node.
+    combos_seq: (nch, K, l) colex position tuples; left_seq: (nch, nt) valid
+    rows per node per chunk; offsets: (nch,) global rank of each chunk start.
 
-    Returns (zmin (nt, d), argk (nt, d)): per (node, neighbour-slot) the
-    minimum Fisher z over the chunk's conditioning sets and the chunk-row
-    index achieving it.
+    Returns (rho_min (nt, d), rank (nt, d)): per (node, neighbour-slot) the
+    minimum |partial rho| over every scanned conditioning set and the global
+    colex rank achieving it.
     """
+    nt, d = nbrs.shape
 
-    def per_node(x, nbrs_x, deg_x, left_x):
-        z, _ = _pcorr_z_node(C, x, nbrs_x, deg_x, combos, left_x, l)
-        return jnp.min(z, axis=0), jnp.argmin(z, axis=0)
+    def chunk_step(carry, inp):
+        rho_min, rank = carry
+        combos, left, off = inp
 
-    return jax.vmap(per_node)(node_ixs, nbrs, deg, combos_left)
+        def per_node(x, nbrs_x, deg_x, left_x):
+            rho, _ = _pcorr_rho_node(C, x, nbrs_x, deg_x, combos, left_x, l)
+            return jnp.min(rho, axis=0), jnp.argmin(rho, axis=0)
+
+        rho_c, argk = jax.vmap(per_node)(node_ixs, nbrs, deg, left)
+        better = rho_c < rho_min
+        rho_min = jnp.where(better, rho_c, rho_min)
+        rank = jnp.where(better, off + argk.astype(jnp.int64), rank)
+        return (rho_min, rank), None
+
+    init = (
+        jnp.full((nt, d), RHO_BIG, jnp.float32),
+        jnp.zeros((nt, d), jnp.int64),
+    )
+    (rho_min, rank), _ = jax.lax.scan(
+        chunk_step, init, (combos_seq, left_seq, offsets)
+    )
+    return rho_min, rank
 
 
 @partial(jax.jit, static_argnames=("l",))
-def level_chunk_hetcor(
-    C, N, time_index, node_ixs, nbrs, deg, combos, combos_left, th, l: int
+def level_scan_hetcor(
+    C, N, time_index, node_ixs, nbrs, deg, combos_seq, left_seq, th, l: int
 ):
-    """Hetcor level-l chunk: per-test ESS thresholds + time-index constraints.
+    """Hetcor level-l chunks in one dispatch: per-test ESS thresholds + time
+    constraints (`hetcor-cuPC-S.cu`), margin reduction.
 
-    Implements the semantics of `hetcor-cuPC-S.cu` level kernels: a test of
-    (X, Y | S) uses threshold th / sqrt(mean_ess({X,Y} u S) - l - 3) where
-    mean_ess averages the pairwise ESS matrix over all variable pairs of the
-    test ignoring NaNs (`hetcor-cuPC-S.cu:3068-3089`), and S must not contain
-    a variable with time index greater than max(t_X, t_Y)
-    (`valid_time_conditioning`, `hetcor-cuPC-S.cu:3055-3065`).
-
-    Returns margin_min (nt, d): min over the chunk of (z - th_test); an edge
-    is removed when its margin over all levels/chunks goes below 0.
+    A test of (X, Y | S) uses threshold th / sqrt(mean_ess({X,Y} u S) - l - 3)
+    where mean_ess averages the pairwise ESS over all variable pairs of the
+    test ignoring NaNs (`hetcor-cuPC-S.cu:3068-3089`); S must not contain a
+    variable with time index greater than max(t_X, t_Y)
+    (`valid_time_conditioning`). Removal when min margin < 0 where margin =
+    |rho| - tanh(th_test).
     """
+    nt, d = nbrs.shape
 
-    def per_node(x, nbrs_x, deg_x, left_x):
-        z, S = _pcorr_z_node(C, x, nbrs_x, deg_x, combos, left_x, l)
-        K, d = z.shape
-        y = nbrs_x  # (d,)
-        # pairwise ESS sums: within S (combo only), S-to-X, S-to-Y, X-to-Y
-        if l >= 2:
-            NSS = N[S[:, :, None], S[:, None, :]]  # (K, l, l)
-            tri = jnp.tril(jnp.ones((l, l), bool), k=-1)
-            nss_vals = jnp.where(tri[None], NSS, jnp.nan)
-            s_SS = jnp.nansum(nss_vals, axis=(1, 2))  # (K,)
-            c_SS = jnp.sum(jnp.where(tri[None], ~jnp.isnan(NSS), False), axis=(1, 2))
-        else:
-            s_SS = jnp.zeros((K,), jnp.float32)
-            c_SS = jnp.zeros((K,), jnp.int32)
-        NxS = N[x, S]  # (K, l)
-        s_xS = jnp.nansum(NxS, axis=1)
-        c_xS = jnp.sum(~jnp.isnan(NxS), axis=1)
-        NyS = N[y[None, :, None], S[:, None, :]]  # (K, d, l)
-        s_yS = jnp.nansum(NyS, axis=2)  # (K, d)
-        c_yS = jnp.sum(~jnp.isnan(NyS), axis=2)
-        Nxy = N[x, y]  # (d,)
-        s_xy = jnp.where(jnp.isnan(Nxy), 0.0, Nxy)[None, :]
-        c_xy = (~jnp.isnan(Nxy)).astype(jnp.int32)[None, :]
-        total = s_SS[:, None] + s_xS[:, None] + s_yS + s_xy
-        count = c_SS[:, None] + c_xS[:, None] + c_yS + c_xy
-        mean_ess = total / count
-        th_test = th / jnp.sqrt(mean_ess - l - 3.0)
-        # time-index constraint
-        tS_max = jnp.max(time_index[S], axis=1)  # (K,)
-        t_pair = jnp.maximum(time_index[x], time_index[y])  # (d,)
-        time_bad = tS_max[:, None] > t_pair[None, :]
-        margin = jnp.where(time_bad | ~jnp.isfinite(th_test), BIG, z - th_test)
-        margin = jnp.where(z >= BIG, BIG, margin)
-        return jnp.min(margin, axis=0)
+    def chunk_step(margin_min, inp):
+        combos, left = inp
 
-    return jax.vmap(per_node)(node_ixs, nbrs, deg, combos_left)
+        def per_node(x, nbrs_x, deg_x, left_x):
+            rho, S = _pcorr_rho_node(C, x, nbrs_x, deg_x, combos, left_x, l)
+            K = rho.shape[0]
+            y = nbrs_x
+            if l >= 2:
+                NSS = N[S[:, :, None], S[:, None, :]]  # (K, l, l)
+                tri = jnp.tril(jnp.ones((l, l), bool), k=-1)
+                nss_vals = jnp.where(tri[None], NSS, jnp.nan)
+                s_SS = jnp.nansum(nss_vals, axis=(1, 2))
+                c_SS = jnp.sum(jnp.where(tri[None], ~jnp.isnan(NSS), False), axis=(1, 2))
+            else:
+                s_SS = jnp.zeros((K,), jnp.float32)
+                c_SS = jnp.zeros((K,), jnp.int32)
+            NxS = N[x, S]  # (K, l)
+            s_xS = jnp.nansum(NxS, axis=1)
+            c_xS = jnp.sum(~jnp.isnan(NxS), axis=1)
+            NyS = N[y[None, :, None], S[:, None, :]]  # (K, d, l)
+            s_yS = jnp.nansum(NyS, axis=2)
+            c_yS = jnp.sum(~jnp.isnan(NyS), axis=2)
+            Nxy = N[x, y]
+            s_xy = jnp.where(jnp.isnan(Nxy), 0.0, Nxy)[None, :]
+            c_xy = (~jnp.isnan(Nxy)).astype(jnp.int32)[None, :]
+            total = s_SS[:, None] + s_xS[:, None] + s_yS + s_xy
+            count = c_SS[:, None] + c_xS[:, None] + c_yS + c_xy
+            mean_ess = total / count
+            th_test = jnp.tanh(th / jnp.sqrt(mean_ess - l - 3.0))
+            tS_max = jnp.max(time_index[S], axis=1)  # (K,)
+            t_pair = jnp.maximum(time_index[x], time_index[y])  # (d,)
+            time_bad = tS_max[:, None] > t_pair[None, :]
+            margin = jnp.where(
+                time_bad | ~jnp.isfinite(th_test), MARGIN_BIG, rho - th_test
+            )
+            margin = jnp.where(rho >= RHO_BIG, MARGIN_BIG, margin)
+            return jnp.min(margin, axis=0)
+
+        m_c = jax.vmap(per_node)(node_ixs, nbrs, deg, left)
+        return jnp.minimum(margin_min, m_c), None
+
+    init = jnp.full((nt, d), MARGIN_BIG, jnp.float32)
+    margin_min, _ = jax.lax.scan(chunk_step, init, (combos_seq, left_seq))
+    return margin_min

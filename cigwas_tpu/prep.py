@@ -54,24 +54,36 @@ def prep_bed(bed_base_path: str) -> BedDims:
     dims = BedDims(num_individuals, bim.number_of_lines)
     dims.to_file(bfiles.dim())
 
-    bpc = dims.bytes_per_col()
-    means, stds, modes = [], [], []
-    with open(bfiles.bed(), "rb") as fin:
-        fin.seek(BED_PREFIX_BYTES)
-        while True:
-            raw = fin.read(bpc * BATCH)
-            if not raw:
-                break
-            n_cols = len(raw) // bpc
-            batch = np.frombuffer(raw[: n_cols * bpc], dtype=np.uint8).reshape(
-                n_cols, bpc
-            )
-            m, s, md = compute_bed_stats(batch, num_individuals)
-            means.append(m)
-            stds.append(s)
-            modes.append(md)
+    # native streamed pass (native/bedops.cpp) with a numpy fallback
+    from cigwas_tpu.native import bed_file_col_stats
 
-    write_single_column_file(np.concatenate(means), bfiles.means())
-    write_single_column_file(np.concatenate(stds), bfiles.stds())
-    write_single_column_file(np.concatenate(modes).astype(np.int64), bfiles.modes())
+    native = bed_file_col_stats(
+        bfiles.bed(), num_individuals, dims.num_markers
+    )
+    if native is not None:
+        all_means, all_stds, all_modes = native
+    else:
+        bpc = dims.bytes_per_col()
+        means, stds, modes = [], [], []
+        with open(bfiles.bed(), "rb") as fin:
+            fin.seek(BED_PREFIX_BYTES)
+            while True:
+                raw = fin.read(bpc * BATCH)
+                if not raw:
+                    break
+                n_cols = len(raw) // bpc
+                batch = np.frombuffer(raw[: n_cols * bpc], dtype=np.uint8).reshape(
+                    n_cols, bpc
+                )
+                m, s, md = compute_bed_stats(batch, num_individuals)
+                means.append(m)
+                stds.append(s)
+                modes.append(md)
+        all_means = np.concatenate(means)
+        all_stds = np.concatenate(stds)
+        all_modes = np.concatenate(modes)
+
+    write_single_column_file(all_means, bfiles.means())
+    write_single_column_file(all_stds, bfiles.stds())
+    write_single_column_file(np.asarray(all_modes, dtype=np.int64), bfiles.modes())
     return dims

@@ -6,13 +6,15 @@ Deterministic TPU re-design of `Skeleton` (`cuPC-S.cu:61-450`) and
 * level 0 is an elementwise Fisher-z screen of the whole correlation panel,
 * each level l >= 1 compacts neighbour lists on the host, enumerates
   candidate conditioning sets in colex order (rank-independent of the node
-  degree, see :mod:`cigwas_tpu.utils.combinatorics`) and streams fixed-size
-  chunks through the batched device kernel
-  (:func:`cigwas_tpu.ops.pcorr.level_chunk_minz`),
-* edge deletion is the reduction ``min_z over all candidate sets < Th[l]``;
+  degree, see :mod:`cigwas_tpu.utils.combinatorics`) and streams large
+  batches of fixed-size chunks through the device scan kernels
+  (:func:`cigwas_tpu.ops.pcorr.level_scan_minrho`) — one dispatch covers
+  many chunks, which matters on remote-attached TPUs,
+* edge deletion is the reduction ``min |rho| over all candidate sets <
+  tanh(Th[l])`` (monotonically equivalent to the reference's Fisher-z test);
   deletions apply between levels (PC-stable) exactly like the reference,
   where the per-level neighbour lists ``GPrime`` are frozen at level start,
-* the separation set of a deleted ordered pair (X, Y) is the argmin-z
+* the separation set of a deleted ordered pair (X, Y) is the argmin-|rho|
   conditioning set found from X's side — deterministic, unlike the
   reference's atomicCAS first-writer-wins (`cuPC-S.cu:570-577`; the
   BASELINE parity target is adjacency-exact, sepsets valid up to
@@ -36,9 +38,11 @@ from cigwas_tpu.ops import pcorr as pcorr_ops
 from cigwas_tpu.utils.combinatorics import colex_combinations_chunk, colex_unrank
 from cigwas_tpu.utils.stats import fisher_z
 
-# combos per device chunk
-DEFAULT_CHUNK = 1024
-# cap on (nodes x combos x neighbours x l) elements held live per kernel call
+# combos per chunk (static kernel shape)
+DEFAULT_CHUNK = 512
+# max chunks fused into one device dispatch
+MAX_CHUNKS_PER_LAUNCH = 64
+# cap on (nodes x combos x neighbours x l) elements live per kernel call
 ELEM_BUDGET = 1 << 27
 
 
@@ -54,7 +58,7 @@ def _next_pow2(v: int) -> int:
     return 1 << max(0, (v - 1).bit_length())
 
 
-def _compact_neighbors(G: np.ndarray, nodes: np.ndarray, d_max: int) -> np.ndarray:
+def _compact_neighbors(G: np.ndarray, nodes: np.ndarray, d_max: int):
     """Ascending neighbour indices per node, padded with 0 (`scan_compact`)."""
     n = G.shape[1]
     rows = G[nodes].astype(bool)
@@ -63,29 +67,23 @@ def _compact_neighbors(G: np.ndarray, nodes: np.ndarray, d_max: int) -> np.ndarr
     w = min(d_max, n)
     nbrs[:, :w] = order[:, :w]
     deg = rows.sum(axis=1).astype(np.int32)
-    # pad slots beyond deg with 0 (they are masked by deg in the kernel)
     slot = np.arange(d_max)[None, :]
     nbrs[slot >= deg[:, None]] = 0
     return nbrs, deg
 
 
-def _level_minz(
+def _run_level(
     C_dev,
     G: np.ndarray,
     l: int,
-    threshold_fn,
+    rho_threshold: float | None,
     chunk: int,
     hetcor_args=None,
 ):
-    """Run all level-l tests; returns per-ordered-pair results.
+    """All level-l tests; returns (removed, rho_min_full, rank_full).
 
-    threshold_fn(zmin) -> bool "passes" decides removal for the plain
-    skeleton; for hetcor the kernel already returns margins and
-    threshold_fn is None (margin < 0 means removal).
-
-    Returns (removed (n,n) bool, best_z dict-like arrays) where
-    best arrays are (n, n) zmin and (n, n) int64 combo rank (only for the
-    plain skeleton; hetcor returns removed only).
+    rho_threshold: tanh(Th[l]) for the plain skeleton; None for hetcor
+    (where the kernel returns margins and removal is margin < 0).
     """
     n = G.shape[0]
     Gb = G.astype(bool)
@@ -95,81 +93,97 @@ def _level_minz(
     if active.size == 0:
         return removed, None, None
 
-    zmin_full = np.full((n, n), np.inf, dtype=np.float32)
+    stat_full = np.full((n, n), np.inf, dtype=np.float32)
     rank_full = np.zeros((n, n), dtype=np.int64)
 
     total_combos = {int(x): math.comb(int(deg_all[x]), l) for x in active}
     offset = 0
-    remaining = list(int(x) for x in active)
+    remaining = [int(x) for x in active]
     while remaining:
         nodes = np.array(remaining, dtype=np.int32)
         d_max = int(deg_all[nodes].max())
         d_pad = _next_pow2(max(d_max, 8))
-        # keep kernel memory bounded: tile the node list
-        combos_np = colex_combinations_chunk(offset, chunk, l)
-        combos_dev = jnp.asarray(combos_np)
         per_node_elems = chunk * d_pad * max(l, 1)
         node_tile = max(1, min(len(nodes), ELEM_BUDGET // per_node_elems))
         if node_tile > 8:  # floor to a power of two to bound distinct shapes
             node_tile = 1 << (node_tile.bit_length() - 1)
         node_tile = min(node_tile, _next_pow2(len(nodes)))
+
+        # chunks fused into this launch: enough for the busiest node
+        max_left = max(total_combos[x] - offset for x in remaining)
+        n_chunks = min(
+            MAX_CHUNKS_PER_LAUNCH, max(1, -(-min(max_left, 1 << 30) // chunk))
+        )
+        combos_np = colex_combinations_chunk(offset, chunk * n_chunks, l)
+        combos_seq = jnp.asarray(combos_np.reshape(n_chunks, chunk, l))
+        offsets_dev = jnp.asarray(
+            offset + chunk * np.arange(n_chunks, dtype=np.int64)
+        )
+
         for s0 in range(0, len(nodes), node_tile):
             tile = nodes[s0 : s0 + node_tile]
             pad = node_tile - len(tile)
-            tile_p = np.concatenate([tile, np.full(pad, tile[-1], np.int32)]) if pad else tile
-            nbrs, deg = _compact_neighbors(Gb, tile_p, d_pad)
-            left = np.array(
-                [min(max(total_combos.get(int(x), 0) - offset, 0), chunk) for x in tile_p],
-                dtype=np.int32,
+            tile_p = (
+                np.concatenate([tile, np.full(pad, tile[-1], np.int32)]) if pad else tile
             )
+            nbrs, deg = _compact_neighbors(Gb, tile_p, d_pad)
+            left_seq = np.zeros((n_chunks, node_tile), dtype=np.int32)
+            for ci in range(n_chunks):
+                base = offset + ci * chunk
+                left_seq[ci] = [
+                    min(max(total_combos.get(int(x), 0) - base, 0), chunk)
+                    for x in tile_p
+                ]
             if pad:
-                left[-pad:] = 0
+                left_seq[:, -pad:] = 0
             if hetcor_args is None:
-                zc, kc = pcorr_ops.level_chunk_minz(
+                rho_c, rank_c = pcorr_ops.level_scan_minrho(
                     C_dev,
                     jnp.asarray(tile_p),
                     jnp.asarray(nbrs),
                     jnp.asarray(deg),
-                    combos_dev,
-                    jnp.asarray(left),
+                    combos_seq,
+                    jnp.asarray(left_seq),
+                    offsets_dev,
                     l,
                 )
-                zc = np.asarray(zc)
-                kc = np.asarray(kc)
+                rho_c = np.asarray(rho_c)
+                rank_c = np.asarray(rank_c)
             else:
                 N_dev, t_dev, th = hetcor_args
-                zc = np.asarray(
-                    pcorr_ops.level_chunk_hetcor(
+                rho_c = np.asarray(
+                    pcorr_ops.level_scan_hetcor(
                         C_dev,
                         N_dev,
                         t_dev,
                         jnp.asarray(tile_p),
                         jnp.asarray(nbrs),
                         jnp.asarray(deg),
-                        combos_dev,
-                        jnp.asarray(left),
+                        combos_seq,
+                        jnp.asarray(left_seq),
                         jnp.float32(th),
                         l,
                     )
                 )
-                kc = np.zeros_like(zc, dtype=np.int64)
-            # scatter chunk minima into the (n, n) accumulators
+                rank_c = np.zeros_like(rho_c, dtype=np.int64)
+            # scatter the launch minima into the (n, n) accumulators
             for ti in range(len(tile)):
                 x = int(tile[ti])
                 dx = int(deg[ti])
                 ys = nbrs[ti, :dx]
-                zx = zc[ti, :dx]
-                kx = kc[ti, :dx]
-                better = zx < zmin_full[x, ys]
+                sx = rho_c[ti, :dx]
+                kx = rank_c[ti, :dx]
+                better = sx < stat_full[x, ys]
                 upd = ys[better]
-                zmin_full[x, upd] = zx[better]
-                rank_full[x, upd] = offset + kx[better]
-        offset += chunk
+                stat_full[x, upd] = sx[better]
+                rank_full[x, upd] = kx[better]
+        offset += chunk * n_chunks
+
         # removal status so far this level
         if hetcor_args is None:
-            cond = threshold_fn(zmin_full)
+            cond = stat_full < rho_threshold
         else:
-            cond = zmin_full < 0
+            cond = stat_full < 0
         cond = cond & Gb
         removed = cond | cond.T
         # prune finished nodes: combos exhausted, or all edges condemned
@@ -184,11 +198,11 @@ def _level_minz(
         remaining = nxt
 
     if hetcor_args is None:
-        cond = threshold_fn(zmin_full) & Gb
+        cond = (stat_full < rho_threshold) & Gb
     else:
-        cond = (zmin_full < 0) & Gb
+        cond = (stat_full < 0) & Gb
     removed = cond | cond.T
-    return removed, zmin_full, rank_full
+    return removed, stat_full, rank_full
 
 
 def skeleton(
@@ -230,18 +244,17 @@ def skeleton(
             break
         if verbose:
             print(f"[skeleton] level {l}: max degree {nprime}")
-        removed, zmin, rank = _level_minz(
-            C_dev, G.astype(np.int32), l, lambda z: z < th[l], chunk
-        )
+        rho_th = float(np.tanh(float(th[l])))
+        removed, rho_min, rank = _run_level(C_dev, G.astype(np.int32), l, rho_th, chunk)
         # record sepsets & pmax for ordered pairs whose own side passed
-        side = (zmin < th[l]) & G
+        side = (rho_min < rho_th) & G
         xs, ys = np.nonzero(side)
         for x, y in zip(xs, ys):
             nbr_x = np.where(G[x])[0]
             pos = colex_unrank(int(rank[x, y]), l)
             sepset[x, y, :l] = nbr_x[pos]
             sepset[x, y, l:] = -1
-            pmax[x, y] = zmin[x, y]
+            pmax[x, y] = fisher_z(rho_min[x, y])
         G = G & ~removed
         final_level = l
     else:
@@ -286,8 +299,8 @@ def hetcor_skeleton(
     time_index = np.asarray(time_index, dtype=np.int32)
 
     # level 0: delete-only marginal screen with per-pair N
-    z0 = fisher_z(C)
-    with np.errstate(invalid="ignore"):
+    with np.errstate(invalid="ignore", divide="ignore"):
+        z0 = fisher_z(C)
         loc_th = threshold / np.sqrt(N - 3.0)
     delete0 = z0 < loc_th
     G &= ~delete0
@@ -305,7 +318,7 @@ def hetcor_skeleton(
             break
         if verbose:
             print(f"[hetcor_skeleton] level {l}: max degree {nprime}")
-        removed, _, _ = _level_minz(
+        removed, _, _ = _run_level(
             C_dev,
             G.astype(np.int32),
             l,
@@ -318,4 +331,6 @@ def hetcor_skeleton(
     else:
         final_level = min(ML, max_level)
 
-    return SkeletonResult(G=G.astype(np.int32), sepset=None, pmax=None, final_level=final_level)
+    return SkeletonResult(
+        G=G.astype(np.int32), sepset=None, pmax=None, final_level=final_level
+    )
