@@ -29,6 +29,7 @@ def main() -> int:
     import jax.numpy as jnp
 
     from cigwas_tpu.ops.corr import _kendall_from_counts
+    from cigwas_tpu.ops.pallas.level1 import level1_min_rho
     from cigwas_tpu.ops.decode import geno_onehot, geno_value_valid, unpack_bed_codes
     from cigwas_tpu.utils.stats import threshold_array
 
@@ -61,30 +62,11 @@ def main() -> int:
         C = jnp.where(jnp.eye(v, dtype=bool), 1.0, C)
         z0 = jnp.abs(0.5 * jnp.log(jnp.abs((1 + C) / (1 - C))))
         G0 = (z0 >= th0) & ~jnp.eye(v, dtype=bool)
-        # dense level-1 sweep in row tiles; |atanh(rho)| < th  <=>
-        # |rho| < tanh(th), so the inner loop is transcendental-free
-        TILE = 128
+        # dense level-1 sweep as a fused Pallas kernel (VMEM-resident
+        # min-|rho| reduction; |atanh(rho)| < th  <=>  |rho| < tanh(th))
         rho_th1 = jnp.tanh(jnp.float32(th1))
-
-        def tile_body(t, G):
-            rows = jax.lax.dynamic_slice(C, (t * TILE, 0), (TILE, v))
-            cxs = rows[:, None, :]
-            cys = C[None, :, :]
-            rho = jnp.abs(rows[:, :, None] - cxs * cys) * jax.lax.rsqrt(
-                jnp.abs((1 - cxs**2) * (1 - cys**2))
-            )
-            s_ix = jnp.arange(v)
-            x_ix = t * TILE + jnp.arange(TILE)
-            mask = (s_ix[None, None, :] == x_ix[:, None, None]) | (
-                s_ix[None, None, :] == s_ix[None, :, None]
-            )
-            rho = jnp.where(mask | ~jnp.isfinite(rho), jnp.float32(2.0), rho)
-            keep = jnp.min(rho, axis=2) >= rho_th1
-            return jax.lax.dynamic_update_slice(
-                G, jax.lax.dynamic_slice(G, (t * TILE, 0), (TILE, v)) & keep, (t * TILE, 0)
-            )
-
-        G = jax.lax.fori_loop(0, v // TILE, tile_body, G0)
+        rho_min = level1_min_rho(C)
+        G = G0 & (rho_min >= rho_th1)
         return G.astype(jnp.int8)
 
     # reduce the output to one scalar on-device so the timed fetch carries
@@ -113,9 +95,8 @@ def main() -> int:
     dt = min(times)
 
     v = m + p
-    tile_rows = (v // 128) * 128
-    # level-0 tests (v^2) + level-1 sweep tests (tiled rows x v pairs x v sets)
-    ci_tests = v * v + tile_rows * v * v
+    # level-0 tests (v^2) + level-1 sweep tests (v pairs^2 x v sets)
+    ci_tests = v * v + v * v * v
     tests_per_sec = ci_tests / dt
 
     result = {

@@ -229,3 +229,26 @@ def check_bed_path(basepath: str) -> None:
 def check_prepped_bed_path(basepath: str) -> None:
     for suffix in (".bed", ".dim", ".means", ".stds", ".bim", ".fam"):
         check_path(basepath + suffix)
+
+
+def num_markers_within_distance(bim_path: str, distance_threshold: int) -> int:
+    """Median number of markers within a base-pair distance window.
+
+    Equivalent of `bim.cpp:60-84` (assumes a single-chromosome .bim). The
+    window count for the marker entering at position b is the number of
+    strictly-interior markers once the left edge slides past the threshold.
+    """
+    positions = []
+    with open(bim_path) as fin:
+        for line in fin:
+            fields = line.split()
+            if len(fields) >= 4:
+                positions.append(int(fields[3]))
+    marker_nums = []
+    pa = 0
+    for pb in range(len(positions)):
+        while positions[pb] - positions[pa] > distance_threshold:
+            marker_nums.append(pb - pa - 1)
+            pa += 1
+    n = len(marker_nums) // 2
+    return int(np.partition(np.array(marker_nums), n)[n])

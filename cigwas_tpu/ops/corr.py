@@ -300,3 +300,71 @@ def pack_square_corr(
     sq[m:, m:] = phen_corr
     np.fill_diagonal(sq, 1.0)
     return sq
+
+
+def marker_corr_mat_antidiag_sums(corrs: np.ndarray) -> np.ndarray:
+    """Antidiagonal sums of the strictly-upper triangular panel.
+
+    Equivalent of `marker_corr_mat_antidiag_sums` (`corr_host.cu:130-166`):
+    entry (row, col) contributes to antidiagonal row + col - 1; the result
+    has 2m - 3 entries. Accepts a dense symmetric panel.
+    """
+    corrs = np.asarray(corrs, dtype=np.float64)
+    m = corrs.shape[0]
+    sums = np.zeros(max(2 * m - 3, 0), dtype=np.float64)
+    iu = np.triu_indices(m, k=1)
+    np.add.at(sums, iu[0] + iu[1] - 1, corrs[iu])
+    return sums.astype(np.float32)
+
+
+def marker_pearson_corr(
+    bed_bytes,
+    marker_mean: np.ndarray,
+    marker_std: np.ndarray,
+    num_samples: int,
+    sample_chunk: int = DEFAULT_SAMPLE_CHUNK,
+) -> np.ndarray:
+    """(m, m) pairwise-complete Pearson correlations between markers.
+
+    Equivalent of `bed_marker_corr_pearson` (`corr_kernels.cu:344-407`):
+    r = (sum(g_a g_b)/n_joint - mean_a mean_b) / (std_a std_b) with sums over
+    individuals where both genotypes are non-missing.
+    """
+    bed_bytes = np.asarray(bed_bytes, dtype=np.uint8)
+    m = bed_bytes.shape[0]
+    sample_chunk = min(sample_chunk, 4 * ((bed_bytes.shape[1] + 31) // 32) * 32 * 4)
+    padded, n_chunks = _prep_bytes(bed_bytes, num_samples, sample_chunk)
+    s_gg, n_joint = _marker_pearson_sums(jnp.asarray(padded), n_chunks)
+    s_gg, n_joint = np.asarray(s_gg), np.asarray(n_joint)
+    mean = np.asarray(marker_mean, dtype=np.float32)
+    std = np.asarray(marker_std, dtype=np.float32)
+    corr = (s_gg / n_joint - mean[:, None] * mean[None, :]) / (
+        std[:, None] * std[None, :]
+    )
+    np.fill_diagonal(corr, 1.0)
+    return corr.astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("n_chunks",))
+def _marker_pearson_sums(bed_bytes, n_chunks: int):
+    m, B = bed_bytes.shape
+    chunk_bytes = B // n_chunks
+
+    def step(carry, idx):
+        s_gg, n_joint = carry
+        rb = jax.lax.dynamic_slice(bed_bytes, (0, idx * chunk_bytes), (m, chunk_bytes))
+        vals, valid = geno_value_valid(unpack_bed_codes(rb))
+        gv = vals * valid
+        s_gg = s_gg + jnp.dot(
+            gv, gv.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        n_joint = n_joint + jnp.dot(
+            valid, valid.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return (s_gg, n_joint), None
+
+    init = (jnp.zeros((m, m), jnp.float32), jnp.zeros((m, m), jnp.float32))
+    (s_gg, n_joint), _ = jax.lax.scan(step, init, jnp.arange(n_chunks))
+    return s_gg, n_joint

@@ -125,3 +125,16 @@ def reduce_gc(
         C=C[np.ix_(keep, keep)].astype(np.float32),
         S=S[np.ix_(keep, keep)].astype(np.float32),
     )
+
+
+def direct_x_to_y(G: np.ndarray, num_var: int, num_markers: int) -> np.ndarray:
+    """Mark marker->trait edges with PAG codes 2/3 in place
+    (`direct_x_to_y`, `parent_set.cpp:62-82`; unused in the reference's main
+    path but part of its API surface)."""
+    G = np.asarray(G).reshape(num_var, num_var)
+    for sink in range(num_markers, num_var):
+        for source in range(num_markers):
+            if G[sink, source] == 1:
+                G[source, sink] = 2
+                G[sink, source] = 3
+    return G

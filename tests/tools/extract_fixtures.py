@@ -28,7 +28,10 @@ def _parse_brace_array(text: str, name: str, pattern: str | None = None):
     m = re.search(pat, text, re.S)
     if m is None:
         raise ValueError(f"could not find {name}")
-    vals = [v.strip() for v in m.group(1).replace("\n", " ").split(",") if v.strip()]
+    body = "\n".join(
+        line.split("//")[0] for line in m.group(1).splitlines()
+    )
+    vals = [v.strip() for v in body.replace("\n", " ").split(",") if v.strip()]
     return vals
 
 
@@ -125,8 +128,48 @@ def main() -> int:
     extract_n10()
     extract_blocking()
     extract_parent_set()
+    extract_bed_marker()
     copy_test_files()
     return 0
+
+
+
+
+def extract_bed_marker() -> None:
+    """bmt/bmt2 correlation fixtures from bed_marker_test_set.h."""
+    path = os.path.join(REFERENCE, "cusk/include/test_data/bed_marker_test_set.h")
+    txt = open(path).read()
+
+    def arr(name, dtype=np.float32, pattern=None):
+        vals = _parse_brace_array(txt, name, pattern=pattern)
+        if dtype == np.uint8:
+            return np.array([int(v, 0) for v in vals], dtype=np.uint8)
+        return np.array([float(v) for v in vals], dtype=dtype)
+
+    out = {
+        "bmt_marker_vals": arr("bmt_marker_vals", np.uint8),
+        "bmt_marker_mean": arr("bmt_marker_mean"),
+        "bmt_marker_std": arr("bmt_marker_std"),
+        "bmt_phen_vals": arr("bmt_phen_vals"),
+        "bmt2_marker_vals": arr("bmt2_marker_vals", np.uint8),
+        "bmt2_marker_mean": arr("bmt2_marker_mean"),
+        "bmt2_marker_std": arr("bmt2_marker_std"),
+        "bmt2_phen_vals": arr("bmt2_phen_vals"),
+        "bmt2_marker_corrs": arr("bmt2_marker_corrs", pattern=r"bmt2_marker_corrs\[[^\]]*\] = \{(.*?)\};"),
+        "bmt2_marker_corrs_pearson": arr("bmt2_marker_corrs_pearson"),
+        "bmt2_marker_corr_antidiag_sums": arr("bmt2_marker_corr_antidiag_sums"),
+        "bmt2_sparse_corrs": arr(
+            "bmt2_sparse_corrs",
+            pattern=r"\nconst float bmt2_sparse_corrs\[[^\]]*\] = \{(.*?)\};",
+        ),
+    }
+    for extra in ("bmt_marker_corrs", "bmt_marker_phen_corrs", "bmt_phen_corrs"):
+        try:
+            out[extra] = arr(extra, pattern=re.escape(extra) + r"\[[^\]]*\] = \{(.*?)\};")
+        except ValueError:
+            pass
+    np.savez(os.path.join(DATA, "bed_marker.npz"), **out)
+    print("wrote bed_marker.npz:", sorted(out))
 
 
 if __name__ == "__main__":
