@@ -112,3 +112,49 @@ def test_pearson_two_stage_block_expected_results(tmp_path):
     assert list(adj) == EXP_ADJ
     corr = np.fromfile(tmp_path / "1_0_2.corr", dtype=np.float32)
     assert np.allclose(corr, EXP_CORR, atol=1e-3)
+
+
+def test_hetcor_two_stage_merged(tmp_path):
+    """hetcor path: SE files supply per-entry effective sample sizes.
+
+    With tiny SEs (huge ESS) the weak marker-trait correlations of the
+    fixture become significant, so more markers survive than in the plain
+    Pearson run at the same alpha — exercises the ESS threshold machinery
+    end-to-end (`cli.cpp:194-346` hetcor branch).
+    """
+    # build SE files matching the corr fixtures
+    mxp_lines = open(p("marker_trait_summary_stats.txt")).read().splitlines()
+    with open(tmp_path / "mxp_se.txt", "w") as f:
+        f.write(mxp_lines[0] + "\n")
+        for line in mxp_lines[1:]:
+            fields = line.split()
+            f.write(" ".join(fields[:3] + ["0.00001"] * (len(fields) - 3)) + "\n")
+    pxp_lines = open(p("trait_summary_stats.txt")).read().splitlines()
+    with open(tmp_path / "pxp_se.txt", "w") as f:
+        f.write(pxp_lines[0] + "\n")
+        for line in pxp_lines[1:]:
+            fields = line.split()
+            f.write(" ".join(fields[:1] + ["0.00001"] * (len(fields) - 1)) + "\n")
+
+    args = _base_args(
+        tmp_path,
+        mxp_se=str(tmp_path / "mxp_se.txt"),
+        pxp_se=str(tmp_path / "pxp_se.txt"),
+    )
+    assert args.hetcor
+    res = cuskss(args, verbose=False)
+    # with ESS ~ 1e10 the weak fixture correlations stay significant and a
+    # connected skeleton with markers survives both stages
+    assert res.num_markers() >= 3
+    assert np.all(np.isfinite(res.S))  # per-entry ESS carried through
+    assert res.S.max() > 1e8
+    adj = np.fromfile(tmp_path / "cuskss_merged.adj", dtype=np.int32)
+    assert adj.sum() > 0
+
+
+def test_cuskss_time_index_restricts_conditioning(tmp_path):
+    """time-indexed traits forbid conditioning on later-time variables."""
+    args = _base_args(tmp_path, time_index=p("time_index.txt"))
+    assert args.time_indexed
+    res = cuskss(args, verbose=False)
+    assert res.num_var >= res.num_phen

@@ -143,3 +143,86 @@ def test_estimate_pag_end_to_end(tmp_path):
     import os
 
     assert os.path.exists(stem + "_estimated_pag.mtx")
+
+
+def test_find_unsh_triples():
+    from cigwas_tpu.pag.simulations import find_unsh_triples
+
+    adj = np.zeros((4, 4), dtype=np.int32)
+    for i, j in [(0, 1), (1, 2), (2, 3)]:
+        adj[i, j] = adj[j, i] = 1
+    triples = find_unsh_triples(adj)
+    assert (0, 1, 2) in triples and (1, 2, 3) in triples
+    assert len(triples) == 2
+
+
+def test_rfci_vstructures_orients_collider():
+    """x -> z <- y collider: z not in sepset(x, y) -> arrowheads at z."""
+    from cigwas_tpu.pag.simulations import rfci_vstructures
+
+    rng = np.random.default_rng(0)
+    n = 40000
+    x = rng.normal(size=n)
+    y = rng.normal(size=n)
+    z = x + y + rng.normal(size=n)
+    C = np.corrcoef(np.stack([x, y, z]))
+    adj = np.array([[0, 0, 1], [0, 0, 1], [1, 1, 0]], dtype=np.int32)
+    amat, sepset, _ = rfci_vstructures(adj, C, n, 1e-3, {(0, 1): set()})
+    assert amat[0, 2] == 2 and amat[1, 2] == 2
+
+
+def test_rfci_vstructures_deletes_spurious_edge():
+    """chain x -> z -> y plus a spurious x-y edge in the skeleton: the
+    re-test given sepset {z} removes it."""
+    from cigwas_tpu.pag.simulations import rfci_vstructures
+
+    rng = np.random.default_rng(1)
+    n = 40000
+    x = rng.normal(size=n)
+    z = x + rng.normal(size=n)
+    y = z + rng.normal(size=n)
+    w = rng.normal(size=n)  # isolated-ish fourth node adjacent to x only
+    C = np.corrcoef(np.stack([x, z, y, w]))
+    adj = np.zeros((4, 4), dtype=np.int32)
+    for i, j in [(0, 1), (1, 2), (0, 2), (0, 3)]:
+        adj[i, j] = adj[j, i] = 1
+    # triple (3, 0, 2): sepset(3, 2) = {0}? re-test of edge (0, 2)... build
+    # a triple whose outer sepset separates the spurious edge:
+    amat, sepset, _ = rfci_vstructures(
+        adj, C, n, 1e-3, {(3, 2): {1}}, triples=[(3, 0, 2)]
+    )
+    # edge (2, 0) re-tested given {1} -> independent -> deleted
+    assert amat[0, 2] == 0 and amat[2, 0] == 0
+
+
+def test_estimate_pag_simulations_modes(tmp_path):
+    from cigwas_tpu.constants import ML
+    from cigwas_tpu.io.results import ReducedGCS
+    from cigwas_tpu.pag.simulations import estimate_pag_simulations
+
+    rng = np.random.default_rng(3)
+    n = 20000
+    # marker m0 -> trait t0 -> trait t1 (markers first in block layout)
+    m0 = rng.normal(size=n)
+    t0 = 0.5 * m0 + rng.normal(size=n)
+    t1 = 0.7 * t0 + rng.normal(size=n)
+    C = np.corrcoef(np.stack([m0, t0, t1])).astype(np.float32)
+    G = np.array([[0, 1, 0], [1, 0, 1], [0, 1, 0]], dtype=np.int32)
+    S = np.full((3, 3, ML), -1, dtype=np.int32)
+    S[0, 2, 0] = 1  # sepset(m0, t1) = {t0}
+    gcs = ReducedGCS(
+        num_var=3, num_phen=2, max_level=ML,
+        new_to_old_indices=np.arange(3, dtype=np.int32), G=G, C=C, S=S,
+    )
+    stem = str(tmp_path / "block")
+    gcs.to_file(stem)
+    np.zeros((0, 3), dtype=np.int32).tofile(stem + ".atr")
+    for mode in ("std", "mpu", "mpd"):
+        out = estimate_pag_simulations(stem, n, 1e-3, mode=mode, verbose=False)
+        assert out.shape == (3, 3)
+        import os
+
+        assert os.path.exists(f"{stem}_estimated_pag_{mode}.mtx")
+    # mpu forces marker -> trait at the end
+    out = estimate_pag_simulations(stem, n, 1e-3, mode="mpu")
+    assert out[0, 1] == 2 and out[1, 0] == 3
