@@ -90,6 +90,23 @@ def cmd_cuskss(args):
         )
 
 
+def cmd_cusk_all(args):
+    from cigwas_tpu.parallel import run_all_blocks
+
+    run_all_blocks(
+        args.phen,
+        args.bfiles,
+        args.blocks,
+        args.alpha,
+        args.max_level,
+        args.max_level_two,
+        args.max_depth,
+        args.outdir,
+        num_partitions=args.num_partitions,
+        partition_index=args.partition_index,
+    )
+
+
 def cmd_merge_blocks(args):
     from cigwas_tpu.merge import merge_block_outputs
 
@@ -203,6 +220,22 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--outdir", type=str, default="./")
     p.set_defaults(func=cmd_cuskss)
+
+    p = sub.add_parser(
+        "cusk-all",
+        help="Run cusk for every block (this host's partition of the block list)",
+    )
+    p.add_argument("blocks", type=str)
+    p.add_argument("bfiles", type=str)
+    p.add_argument("phen", type=str)
+    p.add_argument("alpha", type=_bounded(float, "alpha", 0.0, 1.0), default=1e-4)
+    p.add_argument("max_level", type=_bounded(int, "max-level", 0, 14), default=3)
+    p.add_argument("max_level_two", type=_bounded(int, "max-level", 0, 14), default=14)
+    p.add_argument("max_depth", type=_bounded(int, "max-depth", 1), default=1)
+    p.add_argument("outdir", type=str, default="./")
+    p.add_argument("--num-partitions", type=int, default=None)
+    p.add_argument("--partition-index", type=int, default=None)
+    p.set_defaults(func=cmd_cusk_all)
 
     p = sub.add_parser(
         "merge-block-outputs", help="Merge per-block cusk/cuskss outputs"

@@ -125,3 +125,46 @@ def test_estimated_pag_forces_marker_to_trait(sim_dataset):
     nz = np.argwhere(mt == 2)
     for i, j in nz:
         assert tm[j, i] == 3
+
+
+def test_cusk_all_matches_per_block_runs(sim_dataset):
+    """`cusk-all` (the first-class block runner) must produce byte-identical
+    outputs to the individual per-block cusk invocations."""
+    import hashlib
+
+    tmp, stem, n = sim_dataset
+    blockfile = stem + "_m64.blocks"
+    ref = tmp / "out"
+    if not os.path.exists(blockfile):  # allow running this test standalone
+        ref.mkdir(exist_ok=True)
+        cli_main(["prep-bed", stem])
+        cli_main(["block", stem, "64", "10", "16"])
+        for bi in range(sum(1 for _ in open(blockfile))):
+            cli_main(
+                ["cusk", str(bi), blockfile, stem, stem + ".phen", "0.001", "3", "14", "1", str(ref)]
+            )
+    out2 = tmp / "out_all"
+    out2.mkdir(exist_ok=True)
+    cli_main(
+        ["cusk-all", blockfile, stem, stem + ".phen", "0.001", "3", "14", "1", str(out2)]
+    )
+    import re
+
+    for f in sorted(os.listdir(ref)):
+        # compare per-block outputs only (<chr>_<first>_<last>.*)
+        if re.match(r"^\d+_\d+_\d+\.(adj|corr|ixs|sep|mdim)$", f):
+            h1 = hashlib.md5(open(ref / f, "rb").read()).hexdigest()
+            h2 = hashlib.md5(open(out2 / f, "rb").read()).hexdigest()
+            assert h1 == h2, f
+
+
+def test_partition_blocks_covers_all():
+    from cigwas_tpu.io.blocks import MarkerBlock
+    from cigwas_tpu.parallel import partition_blocks
+
+    blocks = [MarkerBlock("1", i * 10, i * 10 + 5 + i) for i in range(7)]
+    parts = [partition_blocks(blocks, 3, i) for i in range(3)]
+    seen = [b.to_file_string() for p in parts for b in p]
+    assert sorted(seen) == sorted(b.to_file_string() for b in blocks)
+    # cost-balanced: no partition empty
+    assert all(len(p) > 0 for p in parts)
