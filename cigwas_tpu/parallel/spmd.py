@@ -25,7 +25,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map  # jax >= 0.7 name
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 
 def _onehot(codes: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
@@ -166,11 +169,20 @@ def build_multichip_cusk_step(mesh: Mesh, th0: float, th1: float):
 
         return jax.vmap(per_block)(codes, phen)
 
-    sharded = shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=(P("block", "marker", "sample"), P("block", None, "sample")),
-        out_specs=P("block", None, None),
-        check_rep=False,
-    )
+    try:
+        sharded = shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P("block", "marker", "sample"), P("block", None, "sample")),
+            out_specs=P("block", None, None),
+            check_vma=False,
+        )
+    except TypeError:  # older shard_map API
+        sharded = shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P("block", "marker", "sample"), P("block", None, "sample")),
+            out_specs=P("block", None, None),
+            check_rep=False,
+        )
     return jax.jit(sharded)

@@ -1,0 +1,131 @@
+"""Multi-chip SPMD step: correctness on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from cigwas_tpu.parallel import build_multichip_cusk_step, make_mesh, partition_blocks
+from cigwas_tpu.utils.stats import fisher_z, threshold_array
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _reference_step(codes, phen, th0, th1):
+    """Single-device numpy implementation of the SPMD step semantics."""
+    B, m, n = codes.shape
+    p = phen.shape[1]
+    out = []
+    for b in range(B):
+        g0 = (codes[b] == 3).astype(np.float64)
+        g1 = (codes[b] == 2).astype(np.float64)
+        g2 = (codes[b] == 0).astype(np.float64)
+        X = np.concatenate([g0, g1, g2], axis=0)  # (3m, n) grouped by value
+        # the device kernel stacks per-marker [g0; g1; g2] interleaved
+        Xi = np.stack([g0, g1, g2], axis=1).reshape(3 * m, n)
+        counts = Xi @ Xi.T
+        S = counts.reshape(m, 3, m, 3).transpose(0, 2, 1, 3)
+        s = [S[..., i // 3, i % 3] for i in range(9)]
+        P = (
+            s[0] * (s[4] + s[5] + s[7] + s[8])
+            + s[1] * (s[5] + s[8])
+            + s[3] * (s[7] + s[8])
+            + s[4] * s[8]
+        )
+        Q = (
+            s[1] * (s[3] + s[6])
+            + s[2] * (s[3] + s[4] + s[6] + s[7])
+            + s[4] * s[6]
+            + s[5] * (s[6] + s[7])
+        )
+        T = (
+            s[0] * (s[1] + s[2])
+            + s[1] * s[2]
+            + s[3] * (s[4] + s[5])
+            + s[4] * s[5]
+            + s[6] * (s[7] + s[8])
+            + s[7] * s[8]
+        )
+        U = (
+            s[0] * (s[3] + s[6])
+            + s[1] * (s[4] + s[7])
+            + s[2] * (s[5] + s[8])
+            + s[3] * s[6]
+            + s[4] * s[7]
+            + s[5] * s[8]
+        )
+        with np.errstate(invalid="ignore", divide="ignore"):
+            C_mm = np.sin(np.pi / 2 * (P - Q) / np.sqrt((P + Q + T) * (P + Q + U)))
+
+        valid = (codes[b] != 1).astype(np.float64)
+        vals = (codes[b] == 0) * 2.0 + (codes[b] == 2) * 1.0
+        n_val = valid.sum(axis=1, keepdims=True)
+        mean = (vals * valid).sum(axis=1, keepdims=True) / n_val
+        var = (vals**2 * valid).sum(axis=1, keepdims=True) / n_val - mean**2
+        std = np.sqrt(var)
+        C_mp = (
+            vals * valid @ phen[b].T - mean * (valid @ phen[b].T)
+        ) / (n_val * std)
+        C_pp = phen[b] @ phen[b].T / n
+
+        C = np.block([[C_mm, C_mp], [C_mp.T, C_pp]])
+        v = C.shape[0]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            G_rows = (fisher_z(C) >= th0).astype(np.int32)
+            # level-1 dense sweep over marker rows only (as in the kernel)
+            cxs = C[:m, None, :]
+            cys = C[None, :, :]
+            rho = (C[:m, :, None] - cxs * cys) / np.sqrt(
+                np.abs((1 - cxs**2) * (1 - cys**2))
+            )
+            z1 = fisher_z(rho)
+        s_ix = np.arange(v)
+        mask = (s_ix[None, None, :] == s_ix[:m, None, None]) | (
+            s_ix[None, None, :] == s_ix[None, :, None]
+        )
+        z1 = np.where(mask | ~np.isfinite(z1), np.inf, z1)
+        G_rows[:m] &= (z1.min(axis=2) >= th1).astype(np.int32)
+        G = G_rows
+        G = G * G.T
+        np.fill_diagonal(G, 0)
+        out.append(G)
+    return np.stack(out)
+
+
+def test_spmd_step_matches_reference():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(8, block=2, marker=2, sample=2)
+    B, m, n, p = 2, 16, 64, 2
+    th = threshold_array(n, 0.05)
+    th0, th1 = float(th[0]), float(th[1])
+    step = build_multichip_cusk_step(mesh, th0, th1)
+
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, size=(B, m, n)).astype(np.int32)
+    phen = rng.normal(size=(B, p, n)).astype(np.float32)
+    phen = (phen - phen.mean(axis=2, keepdims=True)) / phen.std(axis=2, keepdims=True)
+
+    codes_d = jax.device_put(codes, NamedSharding(mesh, P("block", "marker", "sample")))
+    phen_d = jax.device_put(phen, NamedSharding(mesh, P("block", None, "sample")))
+    G = np.asarray(step(codes_d, phen_d))
+
+    exp = _reference_step(codes, phen, th0, th1)
+    assert G.shape == exp.shape
+    mismatch = (G != exp).sum()
+    assert mismatch == 0, f"{mismatch} adjacency mismatches"
+
+
+def test_partition_blocks_balances_cost():
+    from cigwas_tpu.io.blocks import MarkerBlock
+
+    blocks = [MarkerBlock("1", 0, 999)] + [
+        MarkerBlock("1", 1000 + i * 10, 1000 + i * 10 + 9) for i in range(10)
+    ]
+    parts = [partition_blocks(blocks, 2, i) for i in range(2)]
+    costs = [sum(b.block_size() ** 2 for b in p) for p in parts]
+    # the giant block dominates; the other partition takes all small ones
+    assert min(costs) > 0
+    assert abs(len(parts[0]) + len(parts[1])) == len(blocks)
