@@ -22,6 +22,7 @@ M = int(os.environ.get("CIGWAS_BENCH_M", 1024))  # markers
 N = int(os.environ.get("CIGWAS_BENCH_N", 16384))  # individuals
 P = 8  # traits
 REPS = int(os.environ.get("CIGWAS_BENCH_REPS", 3))
+SWEEP_IMPL = os.environ.get("CIGWAS_BENCH_SWEEP", "xla")
 
 
 def main() -> int:
@@ -62,11 +63,36 @@ def main() -> int:
         C = jnp.where(jnp.eye(v, dtype=bool), 1.0, C)
         z0 = jnp.abs(0.5 * jnp.log(jnp.abs((1 + C) / (1 - C))))
         G0 = (z0 >= th0) & ~jnp.eye(v, dtype=bool)
-        # dense level-1 sweep as a fused Pallas kernel (VMEM-resident
-        # min-|rho| reduction; |atanh(rho)| < th  <=>  |rho| < tanh(th))
+        # dense level-1 sweep; |atanh(rho)| < th  <=>  |rho| < tanh(th) so
+        # the inner loop is transcendental-free. Two implementations:
+        # CIGWAS_BENCH_SWEEP=pallas uses the fused VMEM kernel, default is
+        # the XLA row-tiled form (currently slightly faster on v5e).
         rho_th1 = jnp.tanh(jnp.float32(th1))
-        rho_min = level1_min_rho(C)
-        G = G0 & (rho_min >= rho_th1)
+        if SWEEP_IMPL == "pallas":
+            rho_min = level1_min_rho(C)
+            G = G0 & (rho_min >= rho_th1)
+            return G.astype(jnp.int8)
+        TILE = 128
+
+        def tile_body(t, G):
+            rows = jax.lax.dynamic_slice(C, (t * TILE, 0), (TILE, v))
+            cxs = rows[:, None, :]
+            cys = C[None, :, :]
+            rho = jnp.abs(rows[:, :, None] - cxs * cys) * jax.lax.rsqrt(
+                jnp.abs((1 - cxs**2) * (1 - cys**2))
+            )
+            s_ix = jnp.arange(v)
+            x_ix = t * TILE + jnp.arange(TILE)
+            mask = (s_ix[None, None, :] == x_ix[:, None, None]) | (
+                s_ix[None, None, :] == s_ix[None, :, None]
+            )
+            rho = jnp.where(mask | ~jnp.isfinite(rho), jnp.float32(2.0), rho)
+            keep = jnp.min(rho, axis=2) >= rho_th1
+            return jax.lax.dynamic_update_slice(
+                G, jax.lax.dynamic_slice(G, (t * TILE, 0), (TILE, v)) & keep, (t * TILE, 0)
+            )
+
+        G = jax.lax.fori_loop(0, v // TILE, tile_body, G0)
         return G.astype(jnp.int8)
 
     # reduce the output to one scalar on-device so the timed fetch carries
@@ -96,7 +122,8 @@ def main() -> int:
 
     v = m + p
     # level-0 tests (v^2) + level-1 sweep tests (v pairs^2 x v sets)
-    ci_tests = v * v + v * v * v
+    swept_rows = v if SWEEP_IMPL == "pallas" else (v // 128) * 128
+    ci_tests = v * v + swept_rows * v * v
     tests_per_sec = ci_tests / dt
 
     result = {

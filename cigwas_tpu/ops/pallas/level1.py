@@ -26,7 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 TX = 8
 TY = 128
-TS = 512
+TS = 128
 
 RHO_PAD = 2.0  # sentinel above any valid |rho|
 

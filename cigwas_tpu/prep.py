@@ -87,3 +87,26 @@ def prep_bed(bed_base_path: str) -> BedDims:
     write_single_column_file(all_stds, bfiles.stds())
     write_single_column_file(np.asarray(all_modes, dtype=np.int64), bfiles.modes())
     return dims
+
+
+def compute_bed_stats_impute(
+    bed_bytes: np.ndarray, num_samples: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Mode-imputing variant: missing genotypes are replaced by the mode and
+    statistics divide by the full sample count.
+
+    Equivalent of `compute_bed_col_stats_impute` (`prep.cpp:79-155`; defined
+    but unused in the reference's pipeline). Returns (means, stds, modes,
+    imputed genotype values).
+    """
+    from cigwas_tpu.io.bed import decode_bed_values
+
+    vals, valid = decode_bed_values(bed_bytes, num_samples)
+    counts = np.stack(
+        [((vals == g) & (valid == 1.0)).sum(axis=1) for g in (0.0, 1.0, 2.0)], axis=1
+    )
+    modes = np.argmax(counts, axis=1).astype(np.int32)
+    imputed = np.where(valid == 1.0, vals, modes[:, None].astype(np.float32))
+    means = imputed.mean(axis=1).astype(np.float32)
+    stds = imputed.std(axis=1).astype(np.float32)
+    return means, stds, modes, imputed

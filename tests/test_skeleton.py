@@ -186,3 +186,25 @@ def test_second_stage_degree_cap():
     np.fill_diagonal(C, 1.0)
     with pytest.raises(ValueError, match="max degree"):
         cusk_second_stage(C, np.ones((n, n), np.int32), threshold_array(10000, 1e-4))
+
+
+def test_skeleton_level_four_separation():
+    """u and y share four parents: the edge u-y is separable only at level 4,
+    exercising the batched-LU inverse path (l > 3)."""
+    rng = np.random.default_rng(21)
+    n = 200000
+    X = rng.normal(size=(4, n))
+    y = X.sum(axis=0) + 0.5 * rng.normal(size=n)
+    u = X.sum(axis=0) + 0.5 * rng.normal(size=n)
+    C = np.corrcoef(np.vstack([X, y[None], u[None]])).astype(np.float32)
+    th = threshold_array(n, 1e-5)
+    res = skeleton(C, th, 14)
+    assert res.G[4, 5] == 0  # u - y separated
+    # the recorded sepset must be exactly the four shared parents
+    sep = set(res.sepset[4, 5][res.sepset[4, 5] >= 0]) | set(
+        res.sepset[5, 4][res.sepset[5, 4] >= 0]
+    )
+    assert sep == {0, 1, 2, 3}
+    # parents stay adjacent to both
+    for i in range(4):
+        assert res.G[i, 4] == 1 and res.G[i, 5] == 1
