@@ -85,31 +85,77 @@ def _inv_small(M: jnp.ndarray, l: int) -> jnp.ndarray:
     return jnp.linalg.inv(M)
 
 
+def _inv_unrolled(M: list, l: int) -> list:
+    """Closed-form inverse of an unrolled list-of-lists matrix (l <= 3),
+    entries being same-shaped arrays."""
+    if l == 1:
+        return [[1.0 / M[0][0]]]
+    if l == 2:
+        a, b = M[0]
+        c, d = M[1]
+        det = a * d - b * c
+        return [[d / det, -b / det], [-c / det, a / det]]
+    (m00, m01, m02), (m10, m11, m12), (m20, m21, m22) = M
+    c00 = m11 * m22 - m12 * m21
+    c01 = m02 * m21 - m01 * m22
+    c02 = m01 * m12 - m02 * m11
+    c10 = m12 * m20 - m10 * m22
+    c11 = m00 * m22 - m02 * m20
+    c12 = m02 * m10 - m00 * m12
+    c20 = m10 * m21 - m11 * m20
+    c21 = m01 * m20 - m00 * m21
+    c22 = m00 * m11 - m01 * m10
+    det = m00 * c00 + m10 * c01 + m20 * c02
+    return [
+        [c00 / det, c01 / det, c02 / det],
+        [c10 / det, c11 / det, c12 / det],
+        [c20 / det, c21 / det, c22 / det],
+    ]
+
+
 def _pcorr_rho_node(C, x, nbrs_x, deg_x, combos, combos_left, l: int):
     """Per-node level-l |rho| for one chunk of candidate sepsets.
 
     Returns |rho|: (K, d) (RHO_BIG where the test is invalid) and S: (K, l).
+
+    The l axis is unrolled into Python lists of (K,) / (d, K) arrays: on TPU
+    a tensor with tiny trailing dims (l, l) is padded to full (8, 128) tiles,
+    so keeping the big K/d axes innermost avoids a massive memory blowup.
     """
     K, _ = combos.shape
     d = nbrs_x.shape[0]
     S = nbrs_x[combos]  # (K, l)
-    M2 = C[S[:, :, None], S[:, None, :]]  # (K, l, l)
-    M2inv = _inv_small(M2, l)
-    Cx = C[x, S]  # (K, l)
-    t = jnp.einsum("kij,kj->ki", M2inv, Cx)
-    H00 = 1.0 - jnp.einsum("ki,ki->k", Cx, t)  # (K,)
-    M1Y = C[nbrs_x[None, :, None], S[:, None, :]]  # (K, d, l)
+    ST = [S[:, i] for i in range(l)]  # l x (K,)
+    # conditioning matrix entries and inverse, unrolled
+    if l <= 3:
+        M2 = [[C[ST[i], ST[j]] for j in range(l)] for i in range(l)]
+        M2inv = _inv_unrolled(M2, l)
+    else:
+        M2d = C[S[:, :, None], S[:, None, :]]  # (K, l, l); l >= 4 is rare
+        M2inv_d = jnp.linalg.inv(M2d)
+        M2inv = [[M2inv_d[:, i, j] for j in range(l)] for i in range(l)]
+    Cx = [C[x, ST[i]] for i in range(l)]  # l x (K,)
+    t = [
+        sum(M2inv[i][j] * Cx[j] for j in range(l)) for i in range(l)
+    ]  # l x (K,)
+    H00 = 1.0 - sum(Cx[i] * t[i] for i in range(l))  # (K,)
+    M1Y = [C[nbrs_x[:, None], ST[i][None, :]] for i in range(l)]  # l x (d, K)
     C0Y = C[x, nbrs_x]  # (d,)
-    H01 = C0Y[None, :] - jnp.einsum("kdl,kl->kd", M1Y, t)  # (K, d)
-    V = jnp.einsum("kij,kdj->kdi", M2inv, M1Y)
-    H11 = 1.0 - jnp.einsum("kdi,kdi->kd", V, M1Y)  # (K, d)
-    rho = jnp.abs(H01) * jax.lax.rsqrt(jnp.abs(H00[:, None] * H11))
+    H01 = C0Y[:, None] - sum(M1Y[i] * t[i][None, :] for i in range(l))  # (d, K)
+    H11 = 1.0 - sum(
+        M1Y[i] * M2inv[i][j][None, :] * M1Y[j] for i in range(l) for j in range(l)
+    )  # (d, K)
+    rho = (jnp.abs(H01) * jax.lax.rsqrt(jnp.abs(H00[None, :] * H11))).T  # (K, d)
 
     k_ix = jnp.arange(K)
     slot_ix = jnp.arange(d)
     combo_ok = k_ix < combos_left  # (K,)
     slot_ok = slot_ix < deg_x  # (d,)
-    y_in_S = jnp.any(combos[:, None, :] == slot_ix[None, :, None], axis=-1)  # (K, d)
+    # membership test unrolled over the (small, static) l axis: a fused
+    # (K, d, l) broadcast would be padded to (K, d, 8, 128) tiles on TPU
+    y_in_S = jnp.zeros((K, d), dtype=bool)
+    for i in range(l):
+        y_in_S = y_in_S | (combos[:, i][:, None] == slot_ix[None, :])
     invalid = (~combo_ok[:, None]) | (~slot_ok[None, :]) | y_in_S
     rho = jnp.where(invalid | ~jnp.isfinite(rho), RHO_BIG, rho)
     return rho, S
@@ -175,21 +221,31 @@ def level_scan_hetcor(
             rho, S = _pcorr_rho_node(C, x, nbrs_x, deg_x, combos, left_x, l)
             K = rho.shape[0]
             y = nbrs_x
-            if l >= 2:
-                NSS = N[S[:, :, None], S[:, None, :]]  # (K, l, l)
-                tri = jnp.tril(jnp.ones((l, l), bool), k=-1)
-                nss_vals = jnp.where(tri[None], NSS, jnp.nan)
-                s_SS = jnp.nansum(nss_vals, axis=(1, 2))
-                c_SS = jnp.sum(jnp.where(tri[None], ~jnp.isnan(NSS), False), axis=(1, 2))
-            else:
-                s_SS = jnp.zeros((K,), jnp.float32)
-                c_SS = jnp.zeros((K,), jnp.int32)
-            NxS = N[x, S]  # (K, l)
-            s_xS = jnp.nansum(NxS, axis=1)
-            c_xS = jnp.sum(~jnp.isnan(NxS), axis=1)
-            NyS = N[y[None, :, None], S[:, None, :]]  # (K, d, l)
-            s_yS = jnp.nansum(NyS, axis=2)
-            c_yS = jnp.sum(~jnp.isnan(NyS), axis=2)
+            ST = [S[:, i] for i in range(l)]
+            # pairwise ESS sums unrolled over the small l axis (avoids
+            # tiny-trailing-dim tensors, see _pcorr_rho_node)
+            s_SS = jnp.zeros((K,), jnp.float32)
+            c_SS = jnp.zeros((K,), jnp.int32)
+            for i in range(l):
+                for j in range(i):
+                    vij = N[ST[i], ST[j]]
+                    ok = ~jnp.isnan(vij)
+                    s_SS = s_SS + jnp.where(ok, vij, 0.0)
+                    c_SS = c_SS + ok.astype(jnp.int32)
+            s_xS = jnp.zeros((K,), jnp.float32)
+            c_xS = jnp.zeros((K,), jnp.int32)
+            for i in range(l):
+                vi = N[x, ST[i]]
+                ok = ~jnp.isnan(vi)
+                s_xS = s_xS + jnp.where(ok, vi, 0.0)
+                c_xS = c_xS + ok.astype(jnp.int32)
+            s_yS = jnp.zeros_like(rho)  # (K, d)
+            c_yS = jnp.zeros(rho.shape, jnp.int32)
+            for i in range(l):
+                vi = N[ST[i][:, None], y[None, :]]  # (K, d)
+                ok = ~jnp.isnan(vi)
+                s_yS = s_yS + jnp.where(ok, vi, 0.0)
+                c_yS = c_yS + ok.astype(jnp.int32)
             Nxy = N[x, y]
             s_xy = jnp.where(jnp.isnan(Nxy), 0.0, Nxy)[None, :]
             c_xy = (~jnp.isnan(Nxy)).astype(jnp.int32)[None, :]
@@ -197,7 +253,9 @@ def level_scan_hetcor(
             count = c_SS[:, None] + c_xS[:, None] + c_yS + c_xy
             mean_ess = total / count
             th_test = jnp.tanh(th / jnp.sqrt(mean_ess - l - 3.0))
-            tS_max = jnp.max(time_index[S], axis=1)  # (K,)
+            tS_max = ST[0] * 0 + time_index[ST[0]]
+            for i in range(1, l):
+                tS_max = jnp.maximum(tS_max, time_index[ST[i]])  # (K,)
             t_pair = jnp.maximum(time_index[x], time_index[y])  # (d,)
             time_bad = tS_max[:, None] > t_pair[None, :]
             margin = jnp.where(

@@ -43,7 +43,7 @@ DEFAULT_CHUNK = 512
 # max chunks fused into one device dispatch
 MAX_CHUNKS_PER_LAUNCH = 64
 # cap on (nodes x combos x neighbours x l) elements live per kernel call
-ELEM_BUDGET = 1 << 27
+ELEM_BUDGET = 1 << 25
 
 
 @dataclass
