@@ -162,21 +162,24 @@ def _pcorr_rho_node(C, x, nbrs_x, deg_x, combos, combos_left, l: int):
 
 
 @partial(jax.jit, static_argnames=("l",))
-def level_scan_minrho(C, node_ixs, nbrs, deg, combos_seq, left_seq, offsets, l: int):
+def level_scan_minrho(C, node_ixs, nbrs, deg, combos_seq, left_seq, l: int):
     """Many chunks of level-l CI tests in ONE dispatch.
 
     combos_seq: (nch, K, l) colex position tuples; left_seq: (nch, nt) valid
-    rows per node per chunk; offsets: (nch,) global rank of each chunk start.
+    rows per node per chunk.
 
     Returns (rho_min (nt, d), rank (nt, d)): per (node, neighbour-slot) the
-    minimum |partial rho| over every scanned conditioning set and the global
-    colex rank achieving it.
+    minimum |partial rho| over every scanned conditioning set and the
+    LAUNCH-LOCAL rank (chunk_ix * K + argk, int32-safe) achieving it; the
+    caller adds the launch's global offset with exact Python integers, so
+    colex ranks beyond 2^31 cannot overflow on device.
     """
     nt, d = nbrs.shape
+    nch, K, _ = combos_seq.shape
 
     def chunk_step(carry, inp):
-        rho_min, rank = carry
-        combos, left, off = inp
+        rho_min, rank, ci = carry
+        combos, left = inp
 
         def per_node(x, nbrs_x, deg_x, left_x):
             rho, _ = _pcorr_rho_node(C, x, nbrs_x, deg_x, combos, left_x, l)
@@ -185,15 +188,16 @@ def level_scan_minrho(C, node_ixs, nbrs, deg, combos_seq, left_seq, offsets, l: 
         rho_c, argk = jax.vmap(per_node)(node_ixs, nbrs, deg, left)
         better = rho_c < rho_min
         rho_min = jnp.where(better, rho_c, rho_min)
-        rank = jnp.where(better, off + argk.astype(jnp.int64), rank)
-        return (rho_min, rank), None
+        rank = jnp.where(better, ci * K + argk.astype(jnp.int32), rank)
+        return (rho_min, rank, ci + 1), None
 
     init = (
         jnp.full((nt, d), RHO_BIG, jnp.float32),
-        jnp.zeros((nt, d), jnp.int64),
+        jnp.zeros((nt, d), jnp.int32),
+        jnp.int32(0),
     )
-    (rho_min, rank), _ = jax.lax.scan(
-        chunk_step, init, (combos_seq, left_seq, offsets)
+    (rho_min, rank, _), _ = jax.lax.scan(
+        chunk_step, init, (combos_seq, left_seq)
     )
     return rho_min, rank
 

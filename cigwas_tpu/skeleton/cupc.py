@@ -94,7 +94,8 @@ def _run_level(
         return removed, None, None
 
     stat_full = np.full((n, n), np.inf, dtype=np.float32)
-    rank_full = np.zeros((n, n), dtype=np.int64)
+    # exact Python ints: colex ranks can exceed any fixed width
+    rank_full = np.zeros((n, n), dtype=object)
 
     total_combos = {int(x): math.comb(int(deg_all[x]), l) for x in active}
     offset = 0
@@ -116,9 +117,6 @@ def _run_level(
         )
         combos_np = colex_combinations_chunk(offset, chunk * n_chunks, l)
         combos_seq = jnp.asarray(combos_np.reshape(n_chunks, chunk, l))
-        offsets_dev = jnp.asarray(
-            offset + chunk * np.arange(n_chunks, dtype=np.int64)
-        )
 
         for s0 in range(0, len(nodes), node_tile):
             tile = nodes[s0 : s0 + node_tile]
@@ -144,11 +142,11 @@ def _run_level(
                     jnp.asarray(deg),
                     combos_seq,
                     jnp.asarray(left_seq),
-                    offsets_dev,
                     l,
                 )
                 rho_c = np.asarray(rho_c)
-                rank_c = np.asarray(rank_c)
+                # launch-local ranks -> exact global colex ranks (host ints)
+                rank_c = np.asarray(rank_c).astype(object) + offset
             else:
                 N_dev, t_dev, th = hetcor_args
                 rho_c = np.asarray(
