@@ -125,13 +125,13 @@ def _run_level(
                 np.concatenate([tile, np.full(pad, tile[-1], np.int32)]) if pad else tile
             )
             nbrs, deg = _compact_neighbors(Gb, tile_p, d_pad)
-            left_seq = np.zeros((n_chunks, node_tile), dtype=np.int32)
-            for ci in range(n_chunks):
-                base = offset + ci * chunk
-                left_seq[ci] = [
-                    min(max(total_combos.get(int(x), 0) - base, 0), chunk)
-                    for x in tile_p
-                ]
+            totals = np.array(
+                [min(total_combos.get(int(x), 0) - offset, chunk * n_chunks)
+                 for x in tile_p],
+                dtype=np.int64,
+            )
+            bases = chunk * np.arange(n_chunks, dtype=np.int64)[:, None]
+            left_seq = np.clip(totals[None, :] - bases, 0, chunk).astype(np.int32)
             if pad:
                 left_seq[:, -pad:] = 0
             if hetcor_args is None:
@@ -164,17 +164,18 @@ def _run_level(
                     )
                 )
                 rank_c = np.zeros_like(rho_c, dtype=np.int64)
-            # scatter the launch minima into the (n, n) accumulators
-            for ti in range(len(tile)):
-                x = int(tile[ti])
-                dx = int(deg[ti])
-                ys = nbrs[ti, :dx]
-                sx = rho_c[ti, :dx]
-                kx = rank_c[ti, :dx]
-                better = sx < stat_full[x, ys]
-                upd = ys[better]
-                stat_full[x, upd] = sx[better]
-                rank_full[x, upd] = kx[better]
+            # scatter the launch minima into the (n, n) accumulators;
+            # each (x, y) appears at most once per launch, so a flat masked
+            # update is safe
+            nt_real = len(tile)
+            valid = np.arange(d_pad)[None, :] < deg[:nt_real, None]
+            x_idx = np.repeat(tile, d_pad).reshape(nt_real, d_pad)[valid]
+            y_idx = nbrs[:nt_real][valid]
+            vals = rho_c[:nt_real][valid]
+            ranks = rank_c[:nt_real][valid]
+            better = vals < stat_full[x_idx, y_idx]
+            stat_full[x_idx[better], y_idx[better]] = vals[better]
+            rank_full[x_idx[better], y_idx[better]] = ranks[better]
         offset += chunk * n_chunks
 
         # removal status so far this level
