@@ -98,103 +98,117 @@ def _run_level(
     rank_full = np.zeros((n, n), dtype=object)
 
     total_combos = {int(x): math.comb(int(deg_all[x]), l) for x in active}
-    offset = 0
-    remaining = [int(x) for x in active]
-    while remaining:
-        nodes = np.array(remaining, dtype=np.int32)
-        d_max = int(deg_all[nodes].max())
-        d_pad = _next_pow2(max(d_max, 8))
-        per_node_elems = chunk * d_pad * max(l, 1)
-        node_tile = max(1, min(len(nodes), ELEM_BUDGET // per_node_elems))
-        if node_tile > 8:  # floor to a power of two to bound distinct shapes
-            node_tile = 1 << (node_tile.bit_length() - 1)
-        node_tile = min(node_tile, _next_pow2(len(nodes)))
 
-        # chunks fused into this launch: enough for the busiest node
-        max_left = max(total_combos[x] - offset for x in remaining)
-        n_chunks = min(
-            MAX_CHUNKS_PER_LAUNCH, max(1, -(-min(max_left, 1 << 30) // chunk))
-        )
-        combos_np = colex_combinations_chunk(offset, chunk * n_chunks, l)
-        combos_seq = jnp.asarray(combos_np.reshape(n_chunks, chunk, l))
-
-        for s0 in range(0, len(nodes), node_tile):
-            tile = nodes[s0 : s0 + node_tile]
-            pad = node_tile - len(tile)
-            tile_p = (
-                np.concatenate([tile, np.full(pad, tile[-1], np.int32)]) if pad else tile
-            )
-            nbrs, deg = _compact_neighbors(Gb, tile_p, d_pad)
-            totals = np.array(
-                [min(total_combos.get(int(x), 0) - offset, chunk * n_chunks)
-                 for x in tile_p],
-                dtype=np.int64,
-            )
-            bases = chunk * np.arange(n_chunks, dtype=np.int64)[:, None]
-            left_seq = np.clip(totals[None, :] - bases, 0, chunk).astype(np.int32)
-            if pad:
-                left_seq[:, -pad:] = 0
-            if hetcor_args is None:
-                rho_c, rank_c = pcorr_ops.level_scan_minrho(
-                    C_dev,
-                    jnp.asarray(tile_p),
-                    jnp.asarray(nbrs),
-                    jnp.asarray(deg),
-                    combos_seq,
-                    jnp.asarray(left_seq),
-                    l,
-                )
-                rho_c = np.asarray(rho_c)
-                # launch-local ranks -> exact global colex ranks (host ints)
-                rank_c = np.asarray(rank_c).astype(object) + offset
-            else:
-                N_dev, t_dev, th = hetcor_args
-                rho_c = np.asarray(
-                    pcorr_ops.level_scan_hetcor(
-                        C_dev,
-                        N_dev,
-                        t_dev,
-                        jnp.asarray(tile_p),
-                        jnp.asarray(nbrs),
-                        jnp.asarray(deg),
-                        combos_seq,
-                        jnp.asarray(left_seq),
-                        jnp.float32(th),
-                        l,
-                    )
-                )
-                rank_c = np.zeros_like(rho_c, dtype=np.int64)
-            # scatter the launch minima into the (n, n) accumulators;
-            # each (x, y) appears at most once per launch, so a flat masked
-            # update is safe
-            nt_real = len(tile)
-            valid = np.arange(d_pad)[None, :] < deg[:nt_real, None]
-            x_idx = np.repeat(tile, d_pad).reshape(nt_real, d_pad)[valid]
-            y_idx = nbrs[:nt_real][valid]
-            vals = rho_c[:nt_real][valid]
-            ranks = rank_c[:nt_real][valid]
-            better = vals < stat_full[x_idx, y_idx]
-            stat_full[x_idx[better], y_idx[better]] = vals[better]
-            rank_full[x_idx[better], y_idx[better]] = ranks[better]
-        offset += chunk * n_chunks
-
-        # removal status so far this level
+    def removed_now():
         if hetcor_args is None:
             cond = stat_full < rho_threshold
         else:
             cond = stat_full < 0
         cond = cond & Gb
-        removed = cond | cond.T
-        # prune finished nodes: combos exhausted, or all edges condemned
-        nxt = []
-        for x in remaining:
-            if total_combos[x] <= offset:
-                continue
-            ys = np.where(Gb[x])[0]
-            if removed[x, ys].all():
-                continue
-            nxt.append(x)
-        remaining = nxt
+        return cond | cond.T
+
+    # bucket active nodes by power-of-two degree: without this, every node
+    # pays the busiest node's C(d_max, l) candidate count and d_max padding
+    # (the reference handles the imbalance with per-node grid rows,
+    # `cuPC-S.h:21-49`)
+    buckets: dict = {}
+    for x in active:
+        d_pad = _next_pow2(max(int(deg_all[x]), 8))
+        buckets.setdefault(d_pad, []).append(int(x))
+
+    removed = np.zeros((n, n), dtype=bool)
+    for d_pad in sorted(buckets):
+        remaining = buckets[d_pad]
+        offset = 0
+        while remaining:
+            nodes = np.array(remaining, dtype=np.int32)
+            per_node_elems = chunk * d_pad * max(l, 1)
+            node_tile = max(1, min(len(nodes), ELEM_BUDGET // per_node_elems))
+            if node_tile > 8:  # floor to a power of two to bound shapes
+                node_tile = 1 << (node_tile.bit_length() - 1)
+            node_tile = min(node_tile, _next_pow2(len(nodes)))
+
+            max_left = max(total_combos[x] - offset for x in remaining)
+            n_chunks = min(
+                MAX_CHUNKS_PER_LAUNCH, max(1, -(-min(max_left, 1 << 30) // chunk))
+            )
+            combos_np = colex_combinations_chunk(offset, chunk * n_chunks, l)
+            combos_seq = jnp.asarray(combos_np.reshape(n_chunks, chunk, l))
+
+            for s0 in range(0, len(nodes), node_tile):
+                tile = nodes[s0 : s0 + node_tile]
+                pad = node_tile - len(tile)
+                tile_p = (
+                    np.concatenate([tile, np.full(pad, tile[-1], np.int32)])
+                    if pad
+                    else tile
+                )
+                nbrs, deg = _compact_neighbors(Gb, tile_p, d_pad)
+                totals = np.array(
+                    [
+                        min(total_combos.get(int(x), 0) - offset, chunk * n_chunks)
+                        for x in tile_p
+                    ],
+                    dtype=np.int64,
+                )
+                bases = chunk * np.arange(n_chunks, dtype=np.int64)[:, None]
+                left_seq = np.clip(totals[None, :] - bases, 0, chunk).astype(np.int32)
+                if pad:
+                    left_seq[:, -pad:] = 0
+                if hetcor_args is None:
+                    rho_c, rank_c = pcorr_ops.level_scan_minrho(
+                        C_dev,
+                        jnp.asarray(tile_p),
+                        jnp.asarray(nbrs),
+                        jnp.asarray(deg),
+                        combos_seq,
+                        jnp.asarray(left_seq),
+                        l,
+                    )
+                    rho_c = np.asarray(rho_c)
+                    # launch-local ranks -> exact global colex ranks
+                    rank_c = np.asarray(rank_c).astype(object) + offset
+                else:
+                    N_dev, t_dev, th = hetcor_args
+                    rho_c = np.asarray(
+                        pcorr_ops.level_scan_hetcor(
+                            C_dev,
+                            N_dev,
+                            t_dev,
+                            jnp.asarray(tile_p),
+                            jnp.asarray(nbrs),
+                            jnp.asarray(deg),
+                            combos_seq,
+                            jnp.asarray(left_seq),
+                            jnp.float32(th),
+                            l,
+                        )
+                    )
+                    rank_c = np.zeros_like(rho_c, dtype=object)
+                # scatter the launch minima; each (x, y) appears at most
+                # once per launch, so a flat masked update is safe
+                nt_real = len(tile)
+                valid = np.arange(d_pad)[None, :] < deg[:nt_real, None]
+                x_idx = np.repeat(tile, d_pad).reshape(nt_real, d_pad)[valid]
+                y_idx = nbrs[:nt_real][valid]
+                vals = rho_c[:nt_real][valid]
+                ranks = rank_c[:nt_real][valid]
+                better = vals < stat_full[x_idx, y_idx]
+                stat_full[x_idx[better], y_idx[better]] = vals[better]
+                rank_full[x_idx[better], y_idx[better]] = ranks[better]
+            offset += chunk * n_chunks
+
+            removed = removed_now()
+            # prune finished nodes: combos exhausted, or all edges condemned
+            nxt = []
+            for x in remaining:
+                if total_combos[x] <= offset:
+                    continue
+                ys = np.where(Gb[x])[0]
+                if removed[x, ys].all():
+                    continue
+                nxt.append(x)
+            remaining = nxt
 
     if hetcor_args is None:
         cond = (stat_full < rho_threshold) & Gb
