@@ -113,37 +113,54 @@ def _inv_unrolled(M: list, l: int) -> list:
     ]
 
 
-def _pcorr_rho_node(C, x, nbrs_x, deg_x, combos, combos_left, l: int):
-    """Per-node level-l |rho| for one chunk of candidate sepsets.
+def _combo_onehots(combos, d: int, l: int):
+    """One-hot selection matrices for each combo position, l x (K, d)."""
+    slot = jnp.arange(d)[None, :]
+    return [(combos[:, i][:, None] == slot).astype(jnp.float32) for i in range(l)]
 
-    Returns |rho|: (K, d) (RHO_BIG where the test is invalid) and S: (K, l).
 
-    The l axis is unrolled into Python lists of (K,) / (d, K) arrays: on TPU
-    a tensor with tiny trailing dims (l, l) is padded to full (8, 128) tiles,
-    so keeping the big K/d axes innermost avoids a massive memory blowup.
+def _pcorr_rho_local(C_x, c_row, c0y, deg_x, combos_left, sel, combos, l: int):
+    """Level-l |rho| for one node from its LOCAL neighbourhood panel.
+
+    C_x: (d, d) correlations among the node's neighbours; c_row: (d,)
+    correlations of x with its neighbours; c0y == c_row (kept separate for
+    clarity); sel: l x (K, d) one-hot combo selectors.
+
+    All conditioning-set accesses are one-hot matmuls / masked reductions —
+    random-access gathers are ~40x slower than the MXU on TPU, so the only
+    gather in the whole level is the per-launch C_x slice.
     """
-    K, _ = combos.shape
-    d = nbrs_x.shape[0]
-    S = nbrs_x[combos]  # (K, l)
-    ST = [S[:, i] for i in range(l)]  # l x (K,)
-    # conditioning matrix entries and inverse, unrolled
+    K = sel[0].shape[0]
+    d = C_x.shape[0]
+    # rows_i[k, :] = C[S_ik, nbrs] ; C_x is symmetric so this also provides
+    # M1Y_i = rows_i.T
+    rows = [
+        jnp.dot(sel[i], C_x, preferred_element_type=jnp.float32) for i in range(l)
+    ]  # l x (K, d)
+    Cx = [jnp.sum(sel[i] * c_row[None, :], axis=1) for i in range(l)]  # l x (K,)
     if l <= 3:
-        M2 = [[C[ST[i], ST[j]] for j in range(l)] for i in range(l)]
+        M2 = [
+            [jnp.sum(rows[i] * sel[j], axis=1) for j in range(l)] for i in range(l)
+        ]
         M2inv = _inv_unrolled(M2, l)
     else:
-        M2d = C[S[:, :, None], S[:, None, :]]  # (K, l, l); l >= 4 is rare
+        M2d = jnp.stack(
+            [
+                jnp.stack([jnp.sum(rows[i] * sel[j], axis=1) for j in range(l)], -1)
+                for i in range(l)
+            ],
+            -2,
+        )  # (K, l, l); l >= 4 is rare
         M2inv_d = jnp.linalg.inv(M2d)
         M2inv = [[M2inv_d[:, i, j] for j in range(l)] for i in range(l)]
-    Cx = [C[x, ST[i]] for i in range(l)]  # l x (K,)
-    t = [
-        sum(M2inv[i][j] * Cx[j] for j in range(l)) for i in range(l)
-    ]  # l x (K,)
+    t = [sum(M2inv[i][j] * Cx[j] for j in range(l)) for i in range(l)]  # l x (K,)
     H00 = 1.0 - sum(Cx[i] * t[i] for i in range(l))  # (K,)
-    M1Y = [C[nbrs_x[:, None], ST[i][None, :]] for i in range(l)]  # l x (d, K)
-    C0Y = C[x, nbrs_x]  # (d,)
-    H01 = C0Y[:, None] - sum(M1Y[i] * t[i][None, :] for i in range(l))  # (d, K)
+    # M1Y_i as (d, K) = rows_i.T
+    H01 = c0y[:, None] - sum(rows[i].T * t[i][None, :] for i in range(l))  # (d, K)
     H11 = 1.0 - sum(
-        M1Y[i] * M2inv[i][j][None, :] * M1Y[j] for i in range(l) for j in range(l)
+        rows[i].T * M2inv[i][j][None, :] * rows[j].T
+        for i in range(l)
+        for j in range(l)
     )  # (d, K)
     rho = (jnp.abs(H01) * jax.lax.rsqrt(jnp.abs(H00[None, :] * H11))).T  # (K, d)
 
@@ -151,14 +168,12 @@ def _pcorr_rho_node(C, x, nbrs_x, deg_x, combos, combos_left, l: int):
     slot_ix = jnp.arange(d)
     combo_ok = k_ix < combos_left  # (K,)
     slot_ok = slot_ix < deg_x  # (d,)
-    # membership test unrolled over the (small, static) l axis: a fused
-    # (K, d, l) broadcast would be padded to (K, d, 8, 128) tiles on TPU
     y_in_S = jnp.zeros((K, d), dtype=bool)
     for i in range(l):
         y_in_S = y_in_S | (combos[:, i][:, None] == slot_ix[None, :])
     invalid = (~combo_ok[:, None]) | (~slot_ok[None, :]) | y_in_S
     rho = jnp.where(invalid | ~jnp.isfinite(rho), RHO_BIG, rho)
-    return rho, S
+    return rho
 
 
 @partial(jax.jit, static_argnames=("l",))
@@ -176,16 +191,22 @@ def level_scan_minrho(C, node_ixs, nbrs, deg, combos_seq, left_seq, l: int):
     """
     nt, d = nbrs.shape
     nch, K, _ = combos_seq.shape
+    # the only gathers of the level: per-node local panels, once per launch
+    C_x = C[nbrs[:, :, None], nbrs[:, None, :]]  # (nt, d, d)
+    c_row = C[node_ixs[:, None], nbrs]  # (nt, d)
 
     def chunk_step(carry, inp):
         rho_min, rank, ci = carry
         combos, left = inp
+        sel = _combo_onehots(combos, d, l)
 
-        def per_node(x, nbrs_x, deg_x, left_x):
-            rho, _ = _pcorr_rho_node(C, x, nbrs_x, deg_x, combos, left_x, l)
+        def per_node(C_x_n, c_row_n, deg_x, left_x):
+            rho = _pcorr_rho_local(
+                C_x_n, c_row_n, c_row_n, deg_x, left_x, sel, combos, l
+            )
             return jnp.min(rho, axis=0), jnp.argmin(rho, axis=0)
 
-        rho_c, argk = jax.vmap(per_node)(node_ixs, nbrs, deg, left)
+        rho_c, argk = jax.vmap(per_node)(C_x, c_row, deg, left)
         better = rho_c < rho_min
         rho_min = jnp.where(better, rho_c, rho_min)
         rank = jnp.where(better, ci * K + argk.astype(jnp.int32), rank)
@@ -214,53 +235,75 @@ def level_scan_hetcor(
     test ignoring NaNs (`hetcor-cuPC-S.cu:3068-3089`); S must not contain a
     variable with time index greater than max(t_X, t_Y)
     (`valid_time_conditioning`). Removal when min margin < 0 where margin =
-    |rho| - tanh(th_test).
+    |rho| - tanh(th_test). Gather-free like :func:`level_scan_minrho`: local
+    panels are sliced once per launch, NaNs tracked with a parallel mask so
+    one-hot matmuls stay NaN-safe.
     """
     nt, d = nbrs.shape
+    nch, K, _ = combos_seq.shape
+    C_x = C[nbrs[:, :, None], nbrs[:, None, :]]  # (nt, d, d)
+    c_row = C[node_ixs[:, None], nbrs]  # (nt, d)
+    N_x_raw = N[nbrs[:, :, None], nbrs[:, None, :]]  # (nt, d, d)
+    N_x = jnp.nan_to_num(N_x_raw)
+    N_x_nan = jnp.isnan(N_x_raw).astype(jnp.float32)
+    n_row_raw = N[node_ixs[:, None], nbrs]  # (nt, d)
+    n_row = jnp.nan_to_num(n_row_raw)
+    n_row_nan = jnp.isnan(n_row_raw).astype(jnp.float32)
+    t_nbrs = time_index[nbrs].astype(jnp.float32)  # (nt, d)
+    t_x = time_index[node_ixs].astype(jnp.float32)  # (nt,)
 
     def chunk_step(margin_min, inp):
         combos, left = inp
+        sel = _combo_onehots(combos, d, l)
 
-        def per_node(x, nbrs_x, deg_x, left_x):
-            rho, S = _pcorr_rho_node(C, x, nbrs_x, deg_x, combos, left_x, l)
-            K = rho.shape[0]
-            y = nbrs_x
-            ST = [S[:, i] for i in range(l)]
-            # pairwise ESS sums unrolled over the small l axis (avoids
-            # tiny-trailing-dim tensors, see _pcorr_rho_node)
+        def per_node(C_x_n, c_row_n, N_x_n, N_nan_n, n_row_n, n_nan_n, t_nbrs_n, t_x_n, deg_x, left_x):
+            rho = _pcorr_rho_local(
+                C_x_n, c_row_n, c_row_n, deg_x, left_x, sel, combos, l
+            )  # (K, d)
+            # pairwise ESS sums over {x, y} u S with NaN masking
+            rowsN = [
+                jnp.dot(sel[i], N_x_n, preferred_element_type=jnp.float32)
+                for i in range(l)
+            ]  # l x (K, d)
+            rowsNaN = [
+                jnp.dot(sel[i], N_nan_n, preferred_element_type=jnp.float32)
+                for i in range(l)
+            ]
             s_SS = jnp.zeros((K,), jnp.float32)
-            c_SS = jnp.zeros((K,), jnp.int32)
+            c_SS = jnp.zeros((K,), jnp.float32)
             for i in range(l):
                 for j in range(i):
-                    vij = N[ST[i], ST[j]]
-                    ok = ~jnp.isnan(vij)
-                    s_SS = s_SS + jnp.where(ok, vij, 0.0)
-                    c_SS = c_SS + ok.astype(jnp.int32)
+                    vij = jnp.sum(rowsN[i] * sel[j], axis=1)
+                    nanij = jnp.sum(rowsNaN[i] * sel[j], axis=1) > 0.5
+                    s_SS = s_SS + jnp.where(nanij, 0.0, vij)
+                    c_SS = c_SS + jnp.where(nanij, 0.0, 1.0)
             s_xS = jnp.zeros((K,), jnp.float32)
-            c_xS = jnp.zeros((K,), jnp.int32)
+            c_xS = jnp.zeros((K,), jnp.float32)
             for i in range(l):
-                vi = N[x, ST[i]]
-                ok = ~jnp.isnan(vi)
-                s_xS = s_xS + jnp.where(ok, vi, 0.0)
-                c_xS = c_xS + ok.astype(jnp.int32)
-            s_yS = jnp.zeros_like(rho)  # (K, d)
-            c_yS = jnp.zeros(rho.shape, jnp.int32)
+                vi = jnp.sum(sel[i] * n_row_n[None, :], axis=1)
+                nani = jnp.sum(sel[i] * n_nan_n[None, :], axis=1) > 0.5
+                s_xS = s_xS + jnp.where(nani, 0.0, vi)
+                c_xS = c_xS + jnp.where(nani, 0.0, 1.0)
+            # N[S_i, y] over all neighbour slots y: rowsN_i is (K, d) already
+            s_yS = jnp.zeros((K, d), jnp.float32)
+            c_yS = jnp.zeros((K, d), jnp.float32)
             for i in range(l):
-                vi = N[ST[i][:, None], y[None, :]]  # (K, d)
-                ok = ~jnp.isnan(vi)
-                s_yS = s_yS + jnp.where(ok, vi, 0.0)
-                c_yS = c_yS + ok.astype(jnp.int32)
-            Nxy = N[x, y]
-            s_xy = jnp.where(jnp.isnan(Nxy), 0.0, Nxy)[None, :]
-            c_xy = (~jnp.isnan(Nxy)).astype(jnp.int32)[None, :]
+                nan_i = rowsNaN[i] > 0.5
+                s_yS = s_yS + jnp.where(nan_i, 0.0, rowsN[i])
+                c_yS = c_yS + jnp.where(nan_i, 0.0, 1.0)
+            nan_xy = n_nan_n > 0.5  # (d,)
+            s_xy = jnp.where(nan_xy, 0.0, n_row_n)[None, :]
+            c_xy = jnp.where(nan_xy, 0.0, 1.0)[None, :]
             total = s_SS[:, None] + s_xS[:, None] + s_yS + s_xy
             count = c_SS[:, None] + c_xS[:, None] + c_yS + c_xy
             mean_ess = total / count
             th_test = jnp.tanh(th / jnp.sqrt(mean_ess - l - 3.0))
-            tS_max = ST[0] * 0 + time_index[ST[0]]
+            # time-index constraint
+            tS = [jnp.sum(sel[i] * t_nbrs_n[None, :], axis=1) for i in range(l)]
+            tS_max = tS[0]
             for i in range(1, l):
-                tS_max = jnp.maximum(tS_max, time_index[ST[i]])  # (K,)
-            t_pair = jnp.maximum(time_index[x], time_index[y])  # (d,)
+                tS_max = jnp.maximum(tS_max, tS[i])  # (K,)
+            t_pair = jnp.maximum(t_x_n, t_nbrs_n)  # (d,)
             time_bad = tS_max[:, None] > t_pair[None, :]
             margin = jnp.where(
                 time_bad | ~jnp.isfinite(th_test), MARGIN_BIG, rho - th_test
@@ -268,7 +311,9 @@ def level_scan_hetcor(
             margin = jnp.where(rho >= RHO_BIG, MARGIN_BIG, margin)
             return jnp.min(margin, axis=0)
 
-        m_c = jax.vmap(per_node)(node_ixs, nbrs, deg, left)
+        m_c = jax.vmap(per_node)(
+            C_x, c_row, N_x, N_x_nan, n_row, n_row_nan, t_nbrs, t_x, deg, left
+        )
         return jnp.minimum(margin_min, m_c), None
 
     init = jnp.full((nt, d), MARGIN_BIG, jnp.float32)

@@ -41,9 +41,9 @@ from cigwas_tpu.utils.stats import fisher_z
 # combos per chunk (static kernel shape)
 DEFAULT_CHUNK = 512
 # max chunks fused into one device dispatch
-MAX_CHUNKS_PER_LAUNCH = 64
+MAX_CHUNKS_PER_LAUNCH = 256
 # cap on (nodes x combos x neighbours x l) elements live per kernel call
-ELEM_BUDGET = 1 << 25
+ELEM_BUDGET = 1 << 26
 
 
 @dataclass
@@ -79,6 +79,7 @@ def _run_level(
     rho_threshold: float | None,
     chunk: int,
     hetcor_args=None,
+    verbose: bool = False,
 ):
     """All level-l tests; returns (removed, rho_min_full, rank_full).
 
@@ -117,6 +118,7 @@ def _run_level(
         buckets.setdefault(d_pad, []).append(int(x))
 
     removed = np.zeros((n, n), dtype=bool)
+    n_launches = 0
     for d_pad in sorted(buckets):
         remaining = buckets[d_pad]
         offset = 0
@@ -196,6 +198,7 @@ def _run_level(
                 better = vals < stat_full[x_idx, y_idx]
                 stat_full[x_idx[better], y_idx[better]] = vals[better]
                 rank_full[x_idx[better], y_idx[better]] = ranks[better]
+                n_launches += 1
             offset += chunk * n_chunks
 
             removed = removed_now()
@@ -210,6 +213,8 @@ def _run_level(
                 nxt.append(x)
             remaining = nxt
 
+    if verbose:
+        print(f"[level {l}] device launches: {n_launches}")
     if hetcor_args is None:
         cond = (stat_full < rho_threshold) & Gb
     else:
@@ -258,7 +263,9 @@ def skeleton(
         if verbose:
             print(f"[skeleton] level {l}: max degree {nprime}")
         rho_th = float(np.tanh(float(th[l])))
-        removed, rho_min, rank = _run_level(C_dev, G.astype(np.int32), l, rho_th, chunk)
+        removed, rho_min, rank = _run_level(
+            C_dev, G.astype(np.int32), l, rho_th, chunk, verbose=verbose
+        )
         # record sepsets & pmax for ordered pairs whose own side passed
         side = (rho_min < rho_th) & G
         xs, ys = np.nonzero(side)
@@ -338,6 +345,7 @@ def hetcor_skeleton(
             None,
             chunk,
             hetcor_args=(N_dev, t_dev, float(threshold)),
+            verbose=verbose,
         )
         G = G & ~removed
         final_level = l
