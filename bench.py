@@ -136,8 +136,60 @@ def main() -> int:
         "step_seconds": round(dt, 4),
         "device": str(jax.devices()[0]),
     }
+
+    # phase 2 (optional): wall-time of the production cusk skeleton on a
+    # synthetic 2048-marker LD block (corr panel + 3-level PC-stable search)
+    if os.environ.get("CIGWAS_BENCH_FULL", "1") != "0":
+        result["block2048_wall_s"] = round(_production_block_seconds(), 2)
+
     print(json.dumps(result))
     return 0
+
+
+def _production_block_seconds() -> float:
+    """Warm wall time of corr panel + 3-level skeleton for a 2048-marker
+    block with banded LD structure (fixed seed: stable shapes, cached)."""
+    import numpy as np
+
+    from cigwas_tpu.io.bed import encode_bed_values
+    from cigwas_tpu.ops.corr import (
+        kendall_npn_corr,
+        marker_phen_corr,
+        pack_square_corr,
+        phen_phen_corr,
+    )
+    from cigwas_tpu.skeleton import skeleton
+    from cigwas_tpu.utils.stats import threshold_array
+
+    rng = np.random.default_rng(0)
+    m, n, p = 2048, 16384, 8
+    G = np.empty((m, n), dtype=np.float32)
+    prev = rng.normal(size=n)
+    for i in range(m):
+        prev = 0.92 * prev + np.sqrt(1 - 0.92**2) * rng.normal(size=n)
+        pfreq = 1 / (1 + np.exp(-prev * 0.8))
+        G[i] = (rng.random(n) < pfreq) + (rng.random(n) < pfreq)
+    Y = rng.normal(size=(p, n)).astype(np.float32)
+    for t in range(p):
+        for k in rng.integers(0, m, 5):
+            Y[t] += 0.2 * (G[k] - G[k].mean()) / G[k].std()
+    Y = (Y - Y.mean(1, keepdims=True)) / Y.std(1, keepdims=True)
+    bb = encode_bed_values(G)
+    means = G.mean(axis=1)
+    stds = G.std(axis=1)
+    th = threshold_array(n, 1e-4)
+
+    def run_block():
+        C_mm = kendall_npn_corr(bb, n)
+        C_mp = marker_phen_corr(bb, Y, means, stds, n)
+        C_pp = phen_phen_corr(Y)
+        C = pack_square_corr(C_mm, C_mp, C_pp)
+        return skeleton(C, th, 3)
+
+    run_block()  # warmup/compile
+    t0 = time.perf_counter()
+    run_block()
+    return time.perf_counter() - t0
 
 
 if __name__ == "__main__":
