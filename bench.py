@@ -152,12 +152,7 @@ def _production_block_seconds() -> float:
     import numpy as np
 
     from cigwas_tpu.io.bed import encode_bed_values
-    from cigwas_tpu.ops.corr import (
-        kendall_npn_corr,
-        marker_phen_corr,
-        pack_square_corr,
-        phen_phen_corr,
-    )
+    from cigwas_tpu.ops.corr import corr_panel_device
     from cigwas_tpu.skeleton import skeleton
     from cigwas_tpu.utils.stats import threshold_array
 
@@ -180,11 +175,8 @@ def _production_block_seconds() -> float:
     th = threshold_array(n, 1e-4)
 
     def run_block():
-        C_mm = kendall_npn_corr(bb, n)
-        C_mp = marker_phen_corr(bb, Y, means, stds, n)
-        C_pp = phen_phen_corr(Y)
-        C = pack_square_corr(C_mm, C_mp, C_pp)
-        return skeleton(C, th, 3)
+        C_dev = corr_panel_device(bb, Y, means, stds, n)
+        return skeleton(C_dev, th, 3)
 
     run_block()  # warmup/compile
     t0 = time.perf_counter()

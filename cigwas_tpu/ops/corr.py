@@ -278,6 +278,101 @@ def phen_phen_corr(phen: np.ndarray) -> np.ndarray:
     return np.asarray(s / n)
 
 
+@partial(jax.jit, static_argnames=("n_chunks",))
+def _panel_device(bed_bytes, phen0, phenv, mean, std, n_chunks: int):
+    m, B = bed_bytes.shape
+    p = phen0.shape[0]
+    chunk_bytes = B // n_chunks
+    chunk = 4 * chunk_bytes
+
+    def step(carry, idx):
+        counts, s_mp, s_p, n_val = carry
+        rb = jax.lax.dynamic_slice(bed_bytes, (0, idx * chunk_bytes), (m, chunk_bytes))
+        codes = unpack_bed_codes(rb)
+        oh = geno_onehot(codes).reshape(3 * m, -1)
+        counts = counts + jnp.dot(oh, oh.T, preferred_element_type=jnp.float32)
+        vals, valid = geno_value_valid(codes)
+        ph0 = jax.lax.dynamic_slice(phen0, (0, idx * chunk), (p, chunk))
+        s_mp = s_mp + jnp.dot(
+            vals * valid, ph0.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        s_p = s_p + jnp.dot(
+            valid, ph0.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        phv = jax.lax.dynamic_slice(phenv, (0, idx * chunk), (p, chunk))
+        n_val = n_val + jnp.dot(
+            valid, phv.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return (counts, s_mp, s_p, n_val), None
+
+    init = (
+        jnp.zeros((3 * m, 3 * m), jnp.float32),
+        jnp.zeros((m, p), jnp.float32),
+        jnp.zeros((m, p), jnp.float32),
+        jnp.zeros((m, p), jnp.float32),
+    )
+    (counts, s_mp, s_p, n_val), _ = jax.lax.scan(step, init, jnp.arange(n_chunks))
+    C_mm = _kendall_from_counts(counts.reshape(m, 3, m, 3).transpose(0, 2, 1, 3))
+    C_mp = (s_mp - mean[:, None] * s_p) / (n_val * std[:, None])
+    s_pp = jnp.dot(
+        phen0, phen0.T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    n_pp = jnp.dot(
+        phenv, phenv.T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    C_pp = s_pp / n_pp
+    C = jnp.concatenate(
+        [
+            jnp.concatenate([C_mm, C_mp], axis=1),
+            jnp.concatenate([C_mp.T, C_pp], axis=1),
+        ],
+        axis=0,
+    )
+    return jnp.where(jnp.eye(m + p, dtype=bool), jnp.float32(1.0), C)
+
+
+def corr_panel_device(
+    bed_bytes,
+    phen: np.ndarray,
+    marker_mean: np.ndarray,
+    marker_std: np.ndarray,
+    num_samples: int,
+    sample_chunk: int = DEFAULT_SAMPLE_CHUNK,
+):
+    """Full packed (m+p, m+p) correlation panel, computed and LEFT on device.
+
+    Fuses `kendall_npn_corr` + `marker_phen_corr` + `phen_phen_corr` +
+    `pack_square_corr` into one dispatch: the genotype panel is decoded once
+    per sample chunk and feeds both the contingency matmul and the
+    marker-phen sums, and the packed matrix never leaves the device (the
+    skeleton consumes it in place; fetch with np.asarray when the host copy
+    is needed). Single-tile path: use the tiled `kendall_npn_corr` for
+    m > ~4096.
+    """
+    bed_bytes = np.asarray(bed_bytes, dtype=np.uint8)
+    phen = np.asarray(phen, dtype=np.float32)
+    sample_chunk = min(sample_chunk, 4 * ((bed_bytes.shape[1] + 31) // 32) * 32 * 4)
+    padded, n_chunks = _prep_bytes(bed_bytes, num_samples, sample_chunk)
+    n_padded = padded.shape[1] * 4
+    phen0 = np.zeros((phen.shape[0], n_padded), dtype=np.float32)
+    phenv = np.zeros((phen.shape[0], n_padded), dtype=np.float32)
+    phen0[:, : phen.shape[1]] = np.nan_to_num(phen)
+    phenv[:, : phen.shape[1]] = np.isfinite(phen).astype(np.float32)
+    return _panel_device(
+        jnp.asarray(padded),
+        jnp.asarray(phen0),
+        jnp.asarray(phenv),
+        jnp.asarray(np.asarray(marker_mean, dtype=np.float32)),
+        jnp.asarray(np.asarray(marker_std, dtype=np.float32)),
+        n_chunks,
+    )
+
+
 def banded_row_abs_sums(band: np.ndarray) -> np.ndarray:
     """Forward-band |corr| row sums used by LD blocking (`corr_host.cu:112-128`)."""
     return np.abs(band).sum(axis=1).astype(np.float32)

@@ -85,6 +85,102 @@ def _sweep_padded(C, P, R, v_real: int, interpret: bool = False):
     )(C, R, P, R, P)
 
 
+def _make_masked_kernel(v_real: int):
+    """Adjacency-masked sweep with argmin tracking (skeleton level 1).
+
+    gx is the float32 adjacency row-tile of x over s: candidates are exactly
+    adj(x) (`cal_Indepl1` enumerates x's neighbour list, `cuPC-S.cu:486-582`).
+    Ties and cross-tile minima resolve toward the smallest s — the same
+    ordering as the colex neighbour-list enumeration.
+    """
+
+    def kernel(cxy_ref, rx_ref, px_ref, gx_ref, ry_ref, py_ref, out_ref, arg_ref):
+        t = pl.program_id(2)
+
+        @pl.when(t == 0)
+        def _():
+            out_ref[:, :] = jnp.full((TX, TY), jnp.float32(RHO_PAD))
+            arg_ref[:, :] = jnp.zeros((TX, TY), jnp.int32)
+
+        cxy = cxy_ref[:, :]  # (TX, TY)
+        rx = rx_ref[:, :]  # (TX, TS)
+        px = px_ref[:, :]
+        gx = gx_ref[:, :]  # (TX, TS) adjacency of x over s
+        ry = ry_ref[:, :]  # (TY, TS)
+        py = py_ref[:, :]
+        rho = jnp.abs(
+            cxy[:, :, None] * (rx[:, None, :] * ry[None, :, :])
+            - px[:, None, :] * py[None, :, :]
+        )
+        s_ix = t * TS + jax.lax.broadcasted_iota(jnp.int32, (TX, TY, TS), 2)
+        x_ix = pl.program_id(0) * TX + jax.lax.broadcasted_iota(
+            jnp.int32, (TX, TY, TS), 0
+        )
+        y_ix = pl.program_id(1) * TY + jax.lax.broadcasted_iota(
+            jnp.int32, (TX, TY, TS), 1
+        )
+        bad = (
+            (s_ix == x_ix)
+            | (s_ix == y_ix)
+            | (s_ix >= v_real)
+            | (gx[:, None, :] == 0.0)
+        )
+        rho = jnp.where(bad | jnp.isnan(rho), jnp.float32(RHO_PAD), rho)
+        rmin = jnp.min(rho, axis=2)
+        sarg = t * TS + jnp.argmin(rho, axis=2).astype(jnp.int32)
+        better = rmin < out_ref[:, :]
+        arg_ref[:, :] = jnp.where(better, sarg, arg_ref[:, :])
+        out_ref[:, :] = jnp.where(better, rmin, out_ref[:, :])
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("v_real", "interpret"))
+def _sweep_masked_padded(C, P, R, Gm, v_real: int, interpret: bool = False):
+    v = C.shape[0]
+    grid = (v // TX, v // TY, v // TS)
+    return pl.pallas_call(
+        _make_masked_kernel(v_real),
+        out_shape=(
+            jax.ShapeDtypeStruct((v, v), jnp.float32),
+            jax.ShapeDtypeStruct((v, v), jnp.int32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TX, TY), lambda i, j, t: (i, j)),
+            pl.BlockSpec((TX, TS), lambda i, j, t: (i, t)),
+            pl.BlockSpec((TX, TS), lambda i, j, t: (i, t)),
+            pl.BlockSpec((TX, TS), lambda i, j, t: (i, t)),
+            pl.BlockSpec((TY, TS), lambda i, j, t: (j, t)),
+            pl.BlockSpec((TY, TS), lambda i, j, t: (j, t)),
+        ],
+        out_specs=(
+            pl.BlockSpec((TX, TY), lambda i, j, t: (i, j)),
+            pl.BlockSpec((TX, TY), lambda i, j, t: (i, j)),
+        ),
+        interpret=interpret,
+    )(C, R, P, Gm, R, P)
+
+
+def level1_min_rho_masked(C, G, interpret: bool = False):
+    """(min |rho_{xy|s}| over s in adj(x)\\{x,y}, argmin s) — both (v, v).
+
+    Entries for x with no valid candidate stay at the RHO_PAD sentinel with
+    argmin 0.
+    """
+    C = jnp.asarray(C, dtype=jnp.float32)
+    Gm = jnp.asarray(G, dtype=jnp.float32)
+    v = C.shape[0]
+    pad = (-v) % TS
+    if pad:
+        C = jnp.pad(C, ((0, pad), (0, pad)))
+        Gm = jnp.pad(Gm, ((0, pad), (0, pad)))
+    R = jax.lax.rsqrt(jnp.abs(1.0 - C * C))
+    P = C * R
+    rho, arg = _sweep_masked_padded(C, P, R, Gm, v, interpret=interpret)
+    return rho[:v, :v], arg[:v, :v]
+
+
 def level1_min_rho(C, interpret: bool = False):
     """min over single conditioning variables of |rho_{xy|s}|, (v, v).
 

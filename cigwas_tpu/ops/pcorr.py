@@ -39,6 +39,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # sentinel for invalid tests; |rho| <= 1 for any valid test
 RHO_BIG = jnp.float32(2.0)
@@ -221,6 +222,126 @@ def level_scan_minrho(C, node_ixs, nbrs, deg, combos_seq, left_seq, l: int):
         chunk_step, init, (combos_seq, left_seq)
     )
     return rho_min, rank
+
+
+@partial(jax.jit, static_argnames=("tile",))
+def _level1_dense_padded(C, Gm, tile: int):
+    """Tiled dense level-1 sweep over a padded (vp, vp) panel.
+
+    Returns (rho_min, s_argmin) where rho_min[x, y] is the minimum
+    |rho_{xy|s}| over conditioning variables s with Gm[x, s] true (and
+    s != x, s != y), and s_argmin the minimizing s. Uses the pre-scaled
+    form |rho| = |c_xy R_xs R_ys - P_xs P_ys| with R = rsqrt(|1 - C^2|),
+    P = C R, so the inner sweep is 4 VPU ops per test.
+    """
+    vp = C.shape[0]
+    s_ix = jnp.arange(vp)
+    R = jax.lax.rsqrt(jnp.abs(1.0 - C * C))
+    P = C * R
+
+    def tile_body(t, carry):
+        rho_all, s_all = carry
+        x0 = t * tile
+        cxy = jax.lax.dynamic_slice(C, (x0, 0), (tile, vp))
+        rx = jax.lax.dynamic_slice(R, (x0, 0), (tile, vp))
+        px = jax.lax.dynamic_slice(P, (x0, 0), (tile, vp))
+        gx = jax.lax.dynamic_slice(Gm, (x0, 0), (tile, vp))
+        rho = jnp.abs(
+            cxy[:, :, None] * (rx[:, None, :] * R[None, :, :])
+            - px[:, None, :] * P[None, :, :]
+        )
+        x_ix = x0 + jnp.arange(tile)
+        bad = (
+            (s_ix[None, None, :] == x_ix[:, None, None])
+            | (s_ix[None, None, :] == s_ix[None, :, None])
+            | ~gx[:, None, :]
+        )
+        rho = jnp.where(bad | ~jnp.isfinite(rho), RHO_BIG, rho)
+        rmin = jnp.min(rho, axis=2)
+        smin = jnp.argmin(rho, axis=2).astype(jnp.int32)
+        return (
+            jax.lax.dynamic_update_slice(rho_all, rmin, (x0, 0)),
+            jax.lax.dynamic_update_slice(s_all, smin, (x0, 0)),
+        )
+
+    init = (
+        jnp.full((vp, vp), RHO_BIG, jnp.float32),
+        jnp.zeros((vp, vp), jnp.int32),
+    )
+    return jax.lax.fori_loop(0, vp // tile, tile_body, init)
+
+
+def level1_dense_minrho(C, G):
+    """Level 1 of the skeleton as ONE dense masked dispatch.
+
+    Exactly the tests of `cal_Indepl1` (`cuPC-S.cu:486-582`): for every
+    retained edge (x, y), sweep all single conditioning variables s in
+    adj(x) \\ {y} — non-neighbours are masked to the RHO_BIG sentinel, so
+    the dense sweep over all v candidates matches the reference's
+    neighbour-list enumeration while avoiding every per-node host round
+    trip (the combinatorial path needs several launches per level, which
+    the remote-TPU dispatch latency makes dominant).
+
+    Returns (rho_min (v, v), s_argmin (v, v) int32).
+    """
+    if jax.default_backend() == "tpu":
+        # VMEM-tiled Pallas kernel: the XLA loop below materializes
+        # (tile, v, v) intermediates in HBM and goes bandwidth bound
+        from cigwas_tpu.ops.pallas.level1 import level1_min_rho_masked
+
+        return level1_min_rho_masked(C, G)
+    C = jnp.asarray(C, dtype=jnp.float32)
+    v = C.shape[0]
+    pad = (-v) % 128
+    Gm = jnp.asarray(G, dtype=bool)
+    if pad:
+        C = jnp.pad(C, ((0, pad), (0, pad)))
+        Gm = jnp.pad(Gm, ((0, pad), (0, pad)))
+    vp = v + pad
+    # x-tile sized so a (tile, vp, vp) sweep stays within a fused-VPU budget
+    tile = 128
+    while tile > 8 and tile * vp * vp > (1 << 27):
+        tile //= 2
+    rho_min, s_min = _level1_dense_padded(C, Gm, tile)
+    return rho_min[:v, :v], s_min[:v, :v]
+
+
+@jax.jit
+def _level1_side(rho_min, Gm, rho_threshold):
+    return ((rho_min < rho_threshold) & (Gm > 0)).astype(jnp.int8)
+
+
+@jax.jit
+def _gather_flat(a, b, idx):
+    return a.reshape(-1)[idx], b.reshape(-1)[idx]
+
+
+def level1_dense_screen(C_dev, Gb, rho_threshold: float):
+    """Full level-1 screen with minimal host transfer.
+
+    Runs the dense masked sweep on device, computes the one-sided removal
+    mask there, fetches only the int8 mask, then gathers (|rho|, argmin s)
+    for just the removed ordered pairs (padded to a power of two so the
+    gather compiles once per size bucket, not per block).
+
+    Returns (side (v, v) bool, xs, ys, s_sel, rho_sel) where side[x, y] is
+    "x's sweep condemned (x, y)" and the parallel arrays give the minimizing
+    conditioning variable and its |rho| for each such ordered pair.
+    """
+    n = Gb.shape[0]
+    Gm_dev = jnp.asarray(Gb.astype(np.int8))
+    rho_dev, s_dev = level1_dense_minrho(C_dev, Gm_dev > 0)
+    side_dev = _level1_side(rho_dev, Gm_dev, jnp.float32(rho_threshold))
+    side = np.asarray(side_dev).astype(bool)
+    xs, ys = np.nonzero(side)
+    k = len(xs)
+    if k == 0:
+        return side, xs, ys, np.zeros(0, np.int32), np.zeros(0, np.float32)
+    kp = 1 << (k - 1).bit_length()
+    flat = np.zeros(kp, dtype=np.int64)
+    flat[:k] = xs.astype(np.int64) * n + ys
+    rho_sel, s_sel = _gather_flat(rho_dev, s_dev, jnp.asarray(flat))
+    return side, xs, ys, np.asarray(s_sel)[:k], np.asarray(rho_sel)[:k]
 
 
 @partial(jax.jit, static_argnames=("l",))

@@ -26,6 +26,7 @@ from cigwas_tpu.io import (
 from cigwas_tpu.io.bed import check_path, check_prepped_bed_path, read_block_from_bed, read_chr_from_bed
 from cigwas_tpu.ops.corr import (
     banded_row_abs_sums,
+    corr_panel_device,
     kendall_npn_corr,
     kendall_npn_corr_banded,
     marker_phen_corr,
@@ -144,13 +145,17 @@ def cusk(
     if verbose:
         print(f"Found {num_sig} marker-phen correlations. Proceeding.")
 
-    mm_corr = kendall_npn_corr(bedblock, num_individuals)
-    pp_corr = phen_phen_corr(phen.data)
-    sq_corrs = pack_square_corr(mm_corr, mp_corr, pp_corr)
     num_var = num_markers + num_phen
-
-    # stage 1
-    res1 = skeleton(sq_corrs, Th, max_level, verbose=verbose)
+    if num_markers <= 4096:
+        # fused device panel: decode once, keep C on device for the skeleton
+        C_dev = corr_panel_device(bedblock, phen.data, means, stds, num_individuals)
+        sq_corrs = np.asarray(C_dev)
+        res1 = skeleton(sq_corrs, Th, max_level, verbose=verbose, C_dev=C_dev)
+    else:
+        mm_corr = kendall_npn_corr(bedblock, num_individuals)
+        pp_corr = phen_phen_corr(phen.data)
+        sq_corrs = pack_square_corr(mm_corr, mp_corr, pp_corr)
+        res1 = skeleton(sq_corrs, Th, max_level, verbose=verbose)
     keep = subset_variables(res1.G, num_var, num_markers, depth)
     gcs = reduce_gcs(res1.G, sq_corrs, res1.sepset, keep, num_var, num_phen, max_level)
 

@@ -30,6 +30,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -44,6 +45,24 @@ DEFAULT_CHUNK = 512
 MAX_CHUNKS_PER_LAUNCH = 256
 # cap on (nodes x combos x neighbours x l) elements live per kernel call
 ELEM_BUDGET = 1 << 26
+
+# device-resident combo windows: identical (offset, shape) windows recur for
+# every level of every block, so keep the uploaded arrays alive
+_COMBOS_DEV_CACHE: dict = {}
+_COMBOS_DEV_CACHE_MAX = 32
+
+
+def _combos_seq_device(offset: int, chunk: int, n_chunks: int, l: int):
+    key = (offset, chunk, n_chunks, l)
+    hit = _COMBOS_DEV_CACHE.get(key)
+    if hit is not None:
+        return hit
+    combos_np = colex_combinations_chunk(offset, chunk * n_chunks, l)
+    dev = jnp.asarray(combos_np.reshape(n_chunks, chunk, l))
+    if len(_COMBOS_DEV_CACHE) >= _COMBOS_DEV_CACHE_MAX:
+        _COMBOS_DEV_CACHE.pop(next(iter(_COMBOS_DEV_CACHE)))
+    _COMBOS_DEV_CACHE[key] = dev
+    return dev
 
 
 @dataclass
@@ -70,6 +89,24 @@ def _compact_neighbors(G: np.ndarray, nodes: np.ndarray, d_max: int):
     slot = np.arange(d_max)[None, :]
     nbrs[slot >= deg[:, None]] = 0
     return nbrs, deg
+
+
+def _run_level_dense1(C_dev, Gb: np.ndarray, rho_threshold: float):
+    """Level 1 as one dense masked dispatch (no per-bucket round trips).
+
+    Equivalent to the combinatorial path: candidates are exactly adj(x)\\{y}
+    and the argmin breaks ties toward the smallest conditioning index, which
+    is also the lowest colex rank of the neighbour-list enumeration. Only
+    the int8 removal mask and the removed pairs' (s, |rho|) leave the device.
+
+    Returns (removed, updates) with updates = (xs, ys, s_sel, rho_sel) for
+    the ordered pairs condemned from x's side.
+    """
+    side, xs, ys, s_sel, rho_sel = pcorr_ops.level1_dense_screen(
+        C_dev, Gb, rho_threshold
+    )
+    removed = side | side.T
+    return removed, (xs, ys, s_sel, rho_sel)
 
 
 def _run_level(
@@ -117,12 +154,17 @@ def _run_level(
         d_pad = _next_pow2(max(int(deg_all[x]), 8))
         buckets.setdefault(d_pad, []).append(int(x))
 
+    # wave-structured dispatch: every launch of a pass (across all degree
+    # buckets) is dispatched asynchronously BEFORE any result is fetched, so
+    # the remote round-trip latency is paid once per pass instead of once
+    # per launch
     removed = np.zeros((n, n), dtype=bool)
     n_launches = 0
-    for d_pad in sorted(buckets):
-        remaining = buckets[d_pad]
-        offset = 0
-        while remaining:
+    work = [(d_pad, buckets[d_pad], 0) for d_pad in sorted(buckets)]
+    while work:
+        pending = []
+        next_work = []
+        for d_pad, remaining, offset in work:
             nodes = np.array(remaining, dtype=np.int32)
             per_node_elems = chunk * d_pad * max(l, 1)
             node_tile = max(1, min(len(nodes), ELEM_BUDGET // per_node_elems))
@@ -134,8 +176,7 @@ def _run_level(
             n_chunks = min(
                 MAX_CHUNKS_PER_LAUNCH, max(1, -(-min(max_left, 1 << 30) // chunk))
             )
-            combos_np = colex_combinations_chunk(offset, chunk * n_chunks, l)
-            combos_seq = jnp.asarray(combos_np.reshape(n_chunks, chunk, l))
+            combos_seq = _combos_seq_device(offset, chunk, n_chunks, l)
 
             for s0 in range(0, len(nodes), node_tile):
                 tile = nodes[s0 : s0 + node_tile]
@@ -158,7 +199,7 @@ def _run_level(
                 if pad:
                     left_seq[:, -pad:] = 0
                 if hetcor_args is None:
-                    rho_c, rank_c = pcorr_ops.level_scan_minrho(
+                    rho_dev, rank_dev = pcorr_ops.level_scan_minrho(
                         C_dev,
                         jnp.asarray(tile_p),
                         jnp.asarray(nbrs),
@@ -167,42 +208,49 @@ def _run_level(
                         jnp.asarray(left_seq),
                         l,
                     )
-                    rho_c = np.asarray(rho_c)
-                    # launch-local ranks -> exact global colex ranks
-                    rank_c = np.asarray(rank_c).astype(object) + offset
                 else:
                     N_dev, t_dev, th = hetcor_args
-                    rho_c = np.asarray(
-                        pcorr_ops.level_scan_hetcor(
-                            C_dev,
-                            N_dev,
-                            t_dev,
-                            jnp.asarray(tile_p),
-                            jnp.asarray(nbrs),
-                            jnp.asarray(deg),
-                            combos_seq,
-                            jnp.asarray(left_seq),
-                            jnp.float32(th),
-                            l,
-                        )
+                    rho_dev = pcorr_ops.level_scan_hetcor(
+                        C_dev,
+                        N_dev,
+                        t_dev,
+                        jnp.asarray(tile_p),
+                        jnp.asarray(nbrs),
+                        jnp.asarray(deg),
+                        combos_seq,
+                        jnp.asarray(left_seq),
+                        jnp.float32(th),
+                        l,
                     )
-                    rank_c = np.zeros_like(rho_c, dtype=object)
-                # scatter the launch minima; each (x, y) appears at most
-                # once per launch, so a flat masked update is safe
-                nt_real = len(tile)
-                valid = np.arange(d_pad)[None, :] < deg[:nt_real, None]
-                x_idx = np.repeat(tile, d_pad).reshape(nt_real, d_pad)[valid]
-                y_idx = nbrs[:nt_real][valid]
-                vals = rho_c[:nt_real][valid]
-                ranks = rank_c[:nt_real][valid]
-                better = vals < stat_full[x_idx, y_idx]
-                stat_full[x_idx[better], y_idx[better]] = vals[better]
-                rank_full[x_idx[better], y_idx[better]] = ranks[better]
+                    rank_dev = None
+                pending.append((tile, nbrs, deg, offset, rho_dev, rank_dev))
                 n_launches += 1
-            offset += chunk * n_chunks
+            next_work.append((d_pad, remaining, offset + chunk * n_chunks))
 
-            removed = removed_now()
-            # prune finished nodes: combos exhausted, or all edges condemned
+        for tile, nbrs, deg, offset, rho_dev, rank_dev in pending:
+            rho_c = np.asarray(rho_dev)
+            if rank_dev is not None:
+                # launch-local ranks -> exact global colex ranks
+                rank_c = np.asarray(rank_dev).astype(object) + offset
+            else:
+                rank_c = np.zeros_like(rho_c, dtype=object)
+            # scatter the launch minima; each (x, y) appears at most
+            # once per launch, so a flat masked update is safe
+            nt_real = len(tile)
+            d_pad = nbrs.shape[1]
+            valid = np.arange(d_pad)[None, :] < deg[:nt_real, None]
+            x_idx = np.repeat(tile, d_pad).reshape(nt_real, d_pad)[valid]
+            y_idx = nbrs[:nt_real][valid]
+            vals = rho_c[:nt_real][valid]
+            ranks = rank_c[:nt_real][valid]
+            better = vals < stat_full[x_idx, y_idx]
+            stat_full[x_idx[better], y_idx[better]] = vals[better]
+            rank_full[x_idx[better], y_idx[better]] = ranks[better]
+
+        removed = removed_now()
+        # prune finished nodes: combos exhausted, or all edges condemned
+        work = []
+        for d_pad, remaining, offset in next_work:
             nxt = []
             for x in remaining:
                 if total_combos[x] <= offset:
@@ -211,7 +259,8 @@ def _run_level(
                 if removed[x, ys].all():
                     continue
                 nxt.append(x)
-            remaining = nxt
+            if nxt:
+                work.append((d_pad, nxt, offset))
 
     if verbose:
         print(f"[level {l}] device launches: {n_launches}")
@@ -229,13 +278,20 @@ def skeleton(
     max_level: int,
     chunk: int = DEFAULT_CHUNK,
     verbose: bool = False,
+    C_dev=None,
 ) -> SkeletonResult:
     """PC-stable skeleton over a dense correlation panel.
 
     Equivalent of `Skeleton` (`cuPC-S.cu:61-450`). Note the reference's
     level-0 kernel *overwrites* the adjacency from the correlations
     (`cal_Indepl0`, `cuPC-S.cu:458-484`), so no initial G is accepted here.
+
+    C may be a jax device array (e.g. from
+    :func:`cigwas_tpu.ops.corr.corr_panel_device`), in which case it is
+    reused in place instead of being re-uploaded.
     """
+    if C_dev is None and isinstance(C, jax.Array):
+        C_dev = C
     C = np.asarray(C, dtype=np.float32)
     n = C.shape[0]
     th = np.asarray(thresholds, dtype=np.float32)
@@ -252,7 +308,8 @@ def skeleton(
     np.fill_diagonal(deleted0, False)
     pmax[deleted0] = z0[deleted0]
 
-    C_dev = jnp.asarray(C)
+    if C_dev is None:
+        C_dev = jnp.asarray(C)
     final_level = 0
     for l in range(1, min(ML, max_level) + 1):
         deg = G.sum(axis=1)
@@ -263,31 +320,38 @@ def skeleton(
         if verbose:
             print(f"[skeleton] level {l}: max degree {nprime}")
         rho_th = float(np.tanh(float(th[l])))
-        removed, rho_min, rank = _run_level(
-            C_dev, G.astype(np.int32), l, rho_th, chunk, verbose=verbose
-        )
-        # record sepsets & pmax for ordered pairs whose own side passed
-        side = (rho_min < rho_th) & G
-        xs, ys = np.nonzero(side)
-        for x, y in zip(xs, ys):
-            nbr_x = np.where(G[x])[0]
-            pos = colex_unrank(int(rank[x, y]), l)
-            sepset[x, y, :l] = nbr_x[pos]
-            sepset[x, y, l:] = -1
-            pmax[x, y] = fisher_z(rho_min[x, y])
+        if l == 1:
+            removed, (xs, ys, s_sel, rho_sel) = _run_level_dense1(C_dev, G, rho_th)
+            sepset[xs, ys, 0] = s_sel
+            sepset[xs, ys, 1:] = -1
+            pmax[xs, ys] = fisher_z(rho_sel)
+        else:
+            removed, rho_min, rank = _run_level(
+                C_dev, G.astype(np.int32), l, rho_th, chunk, verbose=verbose
+            )
+            # record sepsets & pmax for ordered pairs whose own side passed
+            side = (rho_min < rho_th) & G
+            xs, ys = np.nonzero(side)
+            if len(xs):
+                pmax[xs, ys] = fisher_z(rho_min[xs, ys])
+                sepset[xs, ys, l:] = -1
+                prev_x, nbr_x = -1, None
+                for x, y in zip(xs, ys):  # xs ascending from np.nonzero
+                    if x != prev_x:
+                        nbr_x = np.where(G[x])[0]
+                        prev_x = x
+                    sepset[x, y, :l] = nbr_x[colex_unrank(int(rank[x, y]), l)]
         G = G & ~removed
         final_level = l
     else:
         final_level = min(ML, max_level)
 
-    # pMax post-processing (`cuPC-S.cu:424-442`)
+    # pMax post-processing (`cuPC-S.cu:424-442`): retained edges get the
+    # sentinel, deleted pairs the max of both sides (full-matrix ops — the
+    # triu fancy-indexing form costs ~0.5s at n~2k)
+    mx = np.maximum(pmax, pmax.T)
+    pmax = np.where(G, np.float32(PMAX_RETAINED), mx)
     np.fill_diagonal(pmax, 1.0)
-    iu = np.triu_indices(n, k=1)
-    upper_edges = G[iu]
-    mx = np.maximum(pmax[iu], pmax[(iu[1], iu[0])])
-    vals = np.where(upper_edges, PMAX_RETAINED, mx)
-    pmax[iu] = vals
-    pmax[(iu[1], iu[0])] = vals
 
     return SkeletonResult(
         G=G.astype(np.int32), sepset=sepset, pmax=pmax, final_level=final_level

@@ -58,18 +58,34 @@ def _colex_next(c: list[int]) -> None:
             return
 
 
+_CHUNK_CACHE: dict = {}
+_CHUNK_CACHE_MAX = 64
+
+
 def colex_combinations_chunk(offset: int, count: int, l: int) -> np.ndarray:
     """(count, l) int32 array of colex combinations with ranks [offset, offset+count).
 
     Rows are position tuples into a node's (compacted) neighbour list. A node
     with degree d uses only the rows with rank < C(d, l); higher rows must be
     masked by the caller.
+
+    The enumeration is a pure-Python successor loop, so results are memoized:
+    the same (offset, count, l) windows recur for every level of every block.
+    Returned arrays are read-only views of the cache.
     """
     if l == 0:
         return np.zeros((count, 0), dtype=np.int32)
+    key = (offset, count, l)
+    hit = _CHUNK_CACHE.get(key)
+    if hit is not None:
+        return hit
     out = np.empty((count, l), dtype=np.int32)
     c = colex_unrank(offset, l)
     for row in range(count):
         out[row] = c
         _colex_next(c)
+    out.setflags(write=False)
+    if len(_CHUNK_CACHE) >= _CHUNK_CACHE_MAX:
+        _CHUNK_CACHE.pop(next(iter(_CHUNK_CACHE)))
+    _CHUNK_CACHE[key] = out
     return out

@@ -123,3 +123,22 @@ def test_phen_phen_corr_with_nan_golden():
     ]
     obs = pp[np.triu_indices(ph.num_phen, k=1)]
     assert np.allclose(obs, exp, atol=1e-5)
+
+
+def test_corr_panel_device_matches_separate_paths(geno):
+    from cigwas_tpu.ops.corr import corr_panel_device
+
+    g, bb, n = geno
+    rng = np.random.default_rng(7)
+    p = 3
+    phen = rng.normal(size=(p, n)).astype(np.float32)
+    phen[0, 5] = np.nan  # NaN phenotype masking must match
+    means = np.nanmean(g, axis=1)
+    stds = np.nanstd(g, axis=1)
+    C_mm = kendall_npn_corr(bb, n)
+    C_mp = marker_phen_corr(bb, phen, means, stds, n)
+    C_pp = phen_phen_corr(phen)
+    expected = pack_square_corr(C_mm, C_mp, C_pp)
+    fused = np.asarray(corr_panel_device(bb, phen, means, stds, n))
+    assert fused.shape == expected.shape
+    assert np.allclose(fused, expected, atol=2e-5, equal_nan=True)

@@ -3,7 +3,7 @@
 import numpy as np
 import pytest
 
-from cigwas_tpu.ops.pallas.level1 import level1_min_rho
+from cigwas_tpu.ops.pallas.level1 import level1_min_rho, level1_min_rho_masked
 
 
 def _reference_sweep(C: np.ndarray) -> np.ndarray:
@@ -50,3 +50,59 @@ def test_level1_min_rho_padding_masked():
     exp = _reference_sweep(C)
     assert out.shape == (13, 13)
     assert np.allclose(out, exp, atol=2e-6)
+
+
+def _reference_masked_sweep(C: np.ndarray, G: np.ndarray):
+    v = C.shape[0]
+    cxs = C[:, None, :]
+    cys = C[None, :, :]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        rho = np.abs(C[:, :, None] - cxs * cys) / np.sqrt(
+            np.abs((1 - cxs**2) * (1 - cys**2))
+        )
+    s = np.arange(v)
+    mask = (
+        (s[None, None, :] == s[:, None, None])
+        | (s[None, None, :] == s[None, :, None])
+        | ~G.astype(bool)[:, None, :]
+    )
+    rho = np.where(mask | np.isnan(rho), 2.0, rho)
+    return rho.min(axis=2), rho.argmin(axis=2)
+
+
+def test_level1_masked_matches_reference_with_argmin():
+    rng = np.random.default_rng(3)
+    C = np.corrcoef(rng.normal(size=(37, 400))).astype(np.float32)
+    G = (np.abs(C) > 0.05) & ~np.eye(37, dtype=bool)
+    out, arg = level1_min_rho_masked(C, G, interpret=True)
+    out, arg = np.asarray(out), np.asarray(arg)
+    exp, exp_arg = _reference_masked_sweep(C, G)
+    assert np.allclose(out, exp, atol=2e-6)
+    # argmins agree except for float near-ties between the prescaled and
+    # direct formulas; the achieved-min check below is the semantic one
+    valid = exp < 2.0
+    assert (arg[valid] == exp_arg[valid]).mean() > 0.95
+    # and each reported argmin must achieve (near) the reported min
+    x, y = np.nonzero(valid)
+    achieved = np.empty(len(x), dtype=np.float32)
+    for k, (i, j) in enumerate(zip(x, y)):
+        s = arg[i, j]
+        achieved[k] = (
+            abs(C[i, j] - C[i, s] * C[j, s])
+            / np.sqrt(abs((1 - C[i, s] ** 2) * (1 - C[j, s] ** 2)))
+        )
+    assert np.allclose(achieved, exp[valid], atol=2e-5)
+
+
+def test_level1_dense_minrho_xla_path_matches():
+    from cigwas_tpu.ops.pcorr import level1_dense_minrho
+
+    rng = np.random.default_rng(4)
+    C = np.corrcoef(rng.normal(size=(23, 300))).astype(np.float32)
+    G = (np.abs(C) > 0.04) & ~np.eye(23, dtype=bool)
+    out, arg = level1_dense_minrho(C, G)  # XLA fallback on CPU
+    out_p, arg_p = level1_min_rho_masked(C, G, interpret=True)
+    assert np.allclose(np.asarray(out), np.asarray(out_p), atol=2e-6)
+    exp, _ = _reference_masked_sweep(C, G)
+    valid = exp < 2.0
+    assert (np.asarray(arg)[valid] == np.asarray(arg_p)[valid]).all()
