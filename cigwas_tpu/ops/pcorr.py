@@ -308,7 +308,7 @@ def level1_dense_minrho(C, G):
 
 @jax.jit
 def _level1_side(rho_min, Gm, rho_threshold):
-    return ((rho_min < rho_threshold) & (Gm > 0)).astype(jnp.int8)
+    return ((rho_min < rho_threshold) & Gm).astype(jnp.int8)
 
 
 @jax.jit
@@ -316,22 +316,44 @@ def _gather_flat(a, b, idx):
     return a.reshape(-1)[idx], b.reshape(-1)[idx]
 
 
-def level1_dense_screen(C_dev, Gb, rho_threshold: float):
-    """Full level-1 screen with minimal host transfer.
+@jax.jit
+def level0_screen(C, th0):
+    """Level-0 adjacency on device: delete iff fisher-z < th0.
 
-    Runs the dense masked sweep on device, computes the one-sided removal
-    mask there, fetches only the int8 mask, then gathers (|rho|, argmin s)
-    for just the removed ordered pairs (padded to a power of two so the
-    gather compiles once per size bucket, not per block).
+    Reference `cal_Indepl0` (`cuPC-S.cu:458-484`); a NaN z compares false and
+    keeps the edge, the diagonal is cleared.
+    """
+    v = C.shape[0]
+    z0 = jnp.abs(0.5 * jnp.log(jnp.abs((1 + C) / (1 - C))))
+    return (~(z0 < th0)) & ~jnp.eye(v, dtype=bool)
+
+
+def level1_dense_dispatch(C_dev, G_dev, rho_threshold: float):
+    """Dispatch the dense level-1 sweep on a DEVICE adjacency; no fetch.
+
+    Returns opaque handles for :func:`level1_dense_collect`. Dispatching
+    before any host fetch lets the caller overlap the (large) correlation
+    panel transfer with the kernel.
+    """
+    Gb_dev = G_dev.astype(bool)
+    rho_dev, s_dev = level1_dense_minrho(C_dev, Gb_dev)
+    side_dev = _level1_side(rho_dev, Gb_dev, jnp.float32(rho_threshold))
+    return rho_dev, s_dev, side_dev
+
+
+def level1_dense_collect(handles):
+    """Fetch a dispatched level-1 screen with minimal transfer.
+
+    Fetches only the int8 removal mask, then gathers (|rho|, argmin s) for
+    just the removed ordered pairs (padded to a power of two so the gather
+    compiles once per size bucket, not per block).
 
     Returns (side (v, v) bool, xs, ys, s_sel, rho_sel) where side[x, y] is
     "x's sweep condemned (x, y)" and the parallel arrays give the minimizing
     conditioning variable and its |rho| for each such ordered pair.
     """
-    n = Gb.shape[0]
-    Gm_dev = jnp.asarray(Gb.astype(np.int8))
-    rho_dev, s_dev = level1_dense_minrho(C_dev, Gm_dev > 0)
-    side_dev = _level1_side(rho_dev, Gm_dev, jnp.float32(rho_threshold))
+    rho_dev, s_dev, side_dev = handles
+    n = side_dev.shape[0]
     side = np.asarray(side_dev).astype(bool)
     xs, ys = np.nonzero(side)
     k = len(xs)
@@ -342,6 +364,13 @@ def level1_dense_screen(C_dev, Gb, rho_threshold: float):
     flat[:k] = xs.astype(np.int64) * n + ys
     rho_sel, s_sel = _gather_flat(rho_dev, s_dev, jnp.asarray(flat))
     return side, xs, ys, np.asarray(s_sel)[:k], np.asarray(rho_sel)[:k]
+
+
+def level1_dense_screen(C_dev, Gb, rho_threshold: float):
+    """Full level-1 screen from a HOST adjacency (upload + dispatch + fetch)."""
+    return level1_dense_collect(
+        level1_dense_dispatch(C_dev, jnp.asarray(Gb.astype(np.int8)) > 0, rho_threshold)
+    )
 
 
 @partial(jax.jit, static_argnames=("l",))

@@ -292,19 +292,35 @@ def skeleton(
     """
     if C_dev is None and isinstance(C, jax.Array):
         C_dev = C
-    C = np.asarray(C, dtype=np.float32)
-    n = C.shape[0]
     th = np.asarray(thresholds, dtype=np.float32)
+    pre_l1 = None
+    if C_dev is not None:
+        # device-first flow: level-0 decisions on device, and the dense
+        # level-1 sweep is dispatched BEFORE the big C fetch so the
+        # transfer overlaps the kernel. Decisions (G) always come from the
+        # device so later levels see a consistent graph.
+        G0_dev = pcorr_ops.level0_screen(C_dev, jnp.float32(th[0]))
+        if min(ML, max_level) >= 1:
+            pre_l1 = pcorr_ops.level1_dense_dispatch(
+                C_dev, G0_dev, float(np.tanh(float(th[1])))
+            )
+        C = np.asarray(C, dtype=np.float32)
+        G = np.asarray(G0_dev)
+    else:
+        C = np.asarray(C, dtype=np.float32)
+        G = None
+    n = C.shape[0]
     sepset = np.full((n, n, ML), -1, dtype=np.int32)
     pmax = np.zeros((n, n), dtype=np.float32)
 
     # level 0: marginal screen, overwrites G
     with np.errstate(invalid="ignore", divide="ignore"):
         z0 = fisher_z(C)
-    # reference deletes iff res < th (`cuPC-S.cu:466-477`), so NaN keeps the edge
-    deleted0 = z0 < th[0]
-    G = ~deleted0
-    np.fill_diagonal(G, False)
+    if G is None:
+        # reference deletes iff res < th (`cuPC-S.cu:466-477`), NaN keeps the edge
+        G = ~(z0 < th[0])
+        np.fill_diagonal(G, False)
+    deleted0 = ~G
     np.fill_diagonal(deleted0, False)
     pmax[deleted0] = z0[deleted0]
 
@@ -321,7 +337,11 @@ def skeleton(
             print(f"[skeleton] level {l}: max degree {nprime}")
         rho_th = float(np.tanh(float(th[l])))
         if l == 1:
-            removed, (xs, ys, s_sel, rho_sel) = _run_level_dense1(C_dev, G, rho_th)
+            if pre_l1 is not None:
+                side, xs, ys, s_sel, rho_sel = pcorr_ops.level1_dense_collect(pre_l1)
+                removed = side | side.T
+            else:
+                removed, (xs, ys, s_sel, rho_sel) = _run_level_dense1(C_dev, G, rho_th)
             sepset[xs, ys, 0] = s_sel
             sepset[xs, ys, 1:] = -1
             pmax[xs, ys] = fisher_z(rho_sel)
