@@ -175,8 +175,8 @@ def _production_block_seconds() -> float:
     th = threshold_array(n, 1e-4)
 
     def run_block():
-        C_dev = corr_panel_device(bb, Y, means, stds, n)
-        return skeleton(C_dev, th, 3)
+        C_dev, v = corr_panel_device(bb, Y, means, stds, n)
+        return skeleton(C_dev, th, 3, n_var=v)
 
     run_block()  # warmup/compile
     t0 = time.perf_counter()

@@ -19,3 +19,9 @@ PMAX_RETAINED: float = -100000.0
 # PLINK .bed magic prefix (`bfiles_base.h:8-9`).
 BED_PREFIX_BYTES: int = 3
 BED_PREFIX_COL_MAJ: bytes = bytes([0x6C, 0x1B, 0x01])
+
+# All device kernels see correlation panels padded up to a multiple of this
+# (shape bucketing): every distinct panel size is a separate XLA compile,
+# 60s+ per shape on remote-attached TPUs. Padded variables are inert (corr 0
+# with everything -> isolated at level 0).
+PANEL_ALIGN: int = 128

@@ -336,6 +336,22 @@ def _panel_device(bed_bytes, phen0, phenv, mean, std, n_chunks: int):
     return jnp.where(jnp.eye(m + p, dtype=bool), jnp.float32(1.0), C)
 
 
+@jax.jit
+def _reorder_mask_panel(C, idx, v_valid):
+    """Move inert pad-marker rows behind the traits and zero their corrs.
+
+    idx permutes [markers, pad, traits] -> [markers, traits, pad]; rows and
+    columns at positions >= v_valid are cleared off-diagonal (their raw
+    values are NaN from all-missing pad genotypes, which would otherwise
+    read as "dependent" in the level-0 screen).
+    """
+    C2 = C[idx][:, idx]
+    r = jnp.arange(C.shape[0])
+    pad_rc = (r[:, None] >= v_valid) | (r[None, :] >= v_valid)
+    off_diag = r[:, None] != r[None, :]
+    return jnp.where(pad_rc & off_diag, jnp.float32(0.0), C2)
+
+
 def corr_panel_device(
     bed_bytes,
     phen: np.ndarray,
@@ -344,26 +360,43 @@ def corr_panel_device(
     num_samples: int,
     sample_chunk: int = DEFAULT_SAMPLE_CHUNK,
 ):
-    """Full packed (m+p, m+p) correlation panel, computed and LEFT on device.
+    """Packed correlation panel, computed and LEFT on device; returns (C, v).
 
     Fuses `kendall_npn_corr` + `marker_phen_corr` + `phen_phen_corr` +
     `pack_square_corr` into one dispatch: the genotype panel is decoded once
     per sample chunk and feeds both the contingency matmul and the
     marker-phen sums, and the packed matrix never leaves the device (the
-    skeleton consumes it in place; fetch with np.asarray when the host copy
-    is needed). Single-tile path: use the tiled `kendall_npn_corr` for
+    skeleton consumes it in place via ``skeleton(..., C_dev=C, n_var=v)``;
+    fetch with ``np.asarray(C)[:v, :v]`` when the host copy is needed).
+
+    C is shape-bucketed to a PANEL_ALIGN multiple with layout
+    [v real variables, inert padding], so distinct block sizes share XLA
+    compilations. Single-tile path: use the tiled `kendall_npn_corr` for
     m > ~4096.
     """
+    from cigwas_tpu.constants import PANEL_ALIGN
+
     bed_bytes = np.asarray(bed_bytes, dtype=np.uint8)
     phen = np.asarray(phen, dtype=np.float32)
+    m = bed_bytes.shape[0]
+    p = phen.shape[0]
+    v = m + p
+    # pad marker rows so the total panel lands on the shape bucket
+    m_pad = m + ((-v) % PANEL_ALIGN)
+    if m_pad != m:
+        bed_bytes = _pad_rows(bed_bytes, m_pad, PAD_BYTE)
+        marker_mean = _pad_rows(
+            np.asarray(marker_mean, dtype=np.float32), m_pad, 1.0
+        )
+        marker_std = _pad_rows(np.asarray(marker_std, dtype=np.float32), m_pad, 1.0)
     sample_chunk = min(sample_chunk, 4 * ((bed_bytes.shape[1] + 31) // 32) * 32 * 4)
     padded, n_chunks = _prep_bytes(bed_bytes, num_samples, sample_chunk)
     n_padded = padded.shape[1] * 4
-    phen0 = np.zeros((phen.shape[0], n_padded), dtype=np.float32)
-    phenv = np.zeros((phen.shape[0], n_padded), dtype=np.float32)
+    phen0 = np.zeros((p, n_padded), dtype=np.float32)
+    phenv = np.zeros((p, n_padded), dtype=np.float32)
     phen0[:, : phen.shape[1]] = np.nan_to_num(phen)
     phenv[:, : phen.shape[1]] = np.isfinite(phen).astype(np.float32)
-    return _panel_device(
+    C_raw = _panel_device(
         jnp.asarray(padded),
         jnp.asarray(phen0),
         jnp.asarray(phenv),
@@ -371,6 +404,12 @@ def corr_panel_device(
         jnp.asarray(np.asarray(marker_std, dtype=np.float32)),
         n_chunks,
     )
+    if m_pad == m:
+        return C_raw, v
+    idx = np.concatenate(
+        [np.arange(m), np.arange(m_pad, m_pad + p), np.arange(m, m_pad)]
+    ).astype(np.int32)
+    return _reorder_mask_panel(C_raw, jnp.asarray(idx), jnp.int32(v)), v
 
 
 def banded_row_abs_sums(band: np.ndarray) -> np.ndarray:

@@ -148,8 +148,10 @@ def cusk(
     num_var = num_markers + num_phen
     if num_markers <= 4096:
         # fused device panel: decode once, keep C on device for the skeleton
-        C_dev = corr_panel_device(bedblock, phen.data, means, stds, num_individuals)
-        sq_corrs = np.asarray(C_dev)
+        C_dev, v_panel = corr_panel_device(
+            bedblock, phen.data, means, stds, num_individuals
+        )
+        sq_corrs = np.asarray(C_dev)[:v_panel, :v_panel]
         res1 = skeleton(sq_corrs, Th, max_level, verbose=verbose, C_dev=C_dev)
     else:
         mm_corr = kendall_npn_corr(bedblock, num_individuals)

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cigwas_tpu.constants import ML, PMAX_RETAINED
+from cigwas_tpu.constants import ML, PANEL_ALIGN, PMAX_RETAINED
 from cigwas_tpu.ops import pcorr as pcorr_ops
 from cigwas_tpu.utils.combinatorics import colex_combinations_chunk, colex_unrank
 from cigwas_tpu.utils.stats import fisher_z
@@ -132,10 +132,13 @@ def _run_level(
         return removed, None, None
 
     stat_full = np.full((n, n), np.inf, dtype=np.float32)
-    # exact Python ints: colex ranks can exceed any fixed width
-    rank_full = np.zeros((n, n), dtype=object)
-
     total_combos = {int(x): math.comb(int(deg_all[x]), l) for x in active}
+    # colex ranks are exact Python bignums only when they can overflow
+    # int64 (object arrays cost ~0.5s/level at n~2k otherwise)
+    rank_dtype = (
+        object if max(total_combos.values(), default=0) > (1 << 62) else np.int64
+    )
+    rank_full = np.zeros((n, n), dtype=rank_dtype)
 
     def removed_now():
         if hetcor_args is None:
@@ -176,6 +179,10 @@ def _run_level(
             n_chunks = min(
                 MAX_CHUNKS_PER_LAUNCH, max(1, -(-min(max_left, 1 << 30) // chunk))
             )
+            # round the scan length up to a power of two: every distinct
+            # length is a separate XLA compile; excess chunks are masked
+            # via left_seq
+            n_chunks = _next_pow2(n_chunks)
             combos_seq = _combos_seq_device(offset, chunk, n_chunks, l)
 
             for s0 in range(0, len(nodes), node_tile):
@@ -231,9 +238,9 @@ def _run_level(
             rho_c = np.asarray(rho_dev)
             if rank_dev is not None:
                 # launch-local ranks -> exact global colex ranks
-                rank_c = np.asarray(rank_dev).astype(object) + offset
+                rank_c = np.asarray(rank_dev).astype(rank_dtype) + offset
             else:
-                rank_c = np.zeros_like(rho_c, dtype=object)
+                rank_c = np.zeros_like(rho_c, dtype=rank_dtype)
             # scatter the launch minima; each (x, y) appears at most
             # once per launch, so a flat masked update is safe
             nt_real = len(tile)
@@ -249,16 +256,13 @@ def _run_level(
 
         removed = removed_now()
         # prune finished nodes: combos exhausted, or all edges condemned
+        live_edge = Gb & ~removed
         work = []
         for d_pad, remaining, offset in next_work:
-            nxt = []
-            for x in remaining:
-                if total_combos[x] <= offset:
-                    continue
-                ys = np.where(Gb[x])[0]
-                if removed[x, ys].all():
-                    continue
-                nxt.append(x)
+            nodes = np.array(remaining, dtype=np.int64)
+            unfinished = np.array([total_combos[x] > offset for x in remaining])
+            alive = live_edge[nodes].any(axis=1)
+            nxt = [x for x, k in zip(remaining, unfinished & alive) if k]
             if nxt:
                 work.append((d_pad, nxt, offset))
 
@@ -279,6 +283,7 @@ def skeleton(
     chunk: int = DEFAULT_CHUNK,
     verbose: bool = False,
     C_dev=None,
+    n_var: int | None = None,
 ) -> SkeletonResult:
     """PC-stable skeleton over a dense correlation panel.
 
@@ -292,6 +297,21 @@ def skeleton(
     """
     if C_dev is None and isinstance(C, jax.Array):
         C_dev = C
+    # pad the panel to the shape bucket; padded variables have corr 0 with
+    # everything, so level 0 isolates them and they never re-enter. n_var
+    # marks an input that is ALREADY padded (corr_panel_device) whose
+    # logical size is n_var.
+    v_real = n_var if n_var is not None else C.shape[0]
+    pad = C.shape[0] - v_real
+    if pad == 0:
+        pad = (-v_real) % PANEL_ALIGN
+        if pad:
+            if C_dev is not None and C_dev.shape[0] == v_real:
+                C_dev = jnp.pad(C_dev, ((0, pad), (0, pad)))
+            if isinstance(C, jax.Array):
+                C = C_dev
+            else:
+                C = np.pad(np.asarray(C, dtype=np.float32), ((0, pad), (0, pad)))
     th = np.asarray(thresholds, dtype=np.float32)
     pre_l1 = None
     if C_dev is not None:
@@ -373,6 +393,10 @@ def skeleton(
     pmax = np.where(G, np.float32(PMAX_RETAINED), mx)
     np.fill_diagonal(pmax, 1.0)
 
+    if pad:
+        G = G[:v_real, :v_real]
+        sepset = sepset[:v_real, :v_real]
+        pmax = pmax[:v_real, :v_real]
     return SkeletonResult(
         G=G.astype(np.int32), sepset=sepset, pmax=pmax, final_level=final_level
     )
@@ -395,6 +419,17 @@ def hetcor_skeleton(
     th / sqrt(mean_ess - l - 3), and returns adjacency only (no sepsets).
     """
     C = np.asarray(C, dtype=np.float32)
+    v_real = C.shape[0]
+    pad = (-v_real) % PANEL_ALIGN
+    if pad:
+        # shape bucket (see `skeleton`): padded vars carry corr 0, finite
+        # ess, no incoming edges — inert at every level
+        C = np.pad(C, ((0, pad), (0, pad)))
+        G = np.pad(np.asarray(G), ((0, pad), (0, pad)))
+        N = np.pad(np.asarray(N, dtype=np.float32), ((0, pad), (0, pad)),
+                   constant_values=10.0)
+        if time_index is not None:
+            time_index = np.pad(np.asarray(time_index, dtype=np.int32), (0, pad))
     n = C.shape[0]
     G = np.asarray(G).astype(bool).copy()
     N = np.asarray(N, dtype=np.float32)
@@ -436,6 +471,8 @@ def hetcor_skeleton(
     else:
         final_level = min(ML, max_level)
 
+    if pad:
+        G = G[:v_real, :v_real]
     return SkeletonResult(
         G=G.astype(np.int32), sepset=None, pmax=None, final_level=final_level
     )

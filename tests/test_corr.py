@@ -139,6 +139,13 @@ def test_corr_panel_device_matches_separate_paths(geno):
     C_mp = marker_phen_corr(bb, phen, means, stds, n)
     C_pp = phen_phen_corr(phen)
     expected = pack_square_corr(C_mm, C_mp, C_pp)
-    fused = np.asarray(corr_panel_device(bb, phen, means, stds, n))
-    assert fused.shape == expected.shape
+    fused_dev, v = corr_panel_device(bb, phen, means, stds, n)
+    assert v == expected.shape[0]
+    fused_full = np.asarray(fused_dev)
+    assert fused_full.shape[0] % 128 == 0  # shape-bucketed
+    fused = fused_full[:v, :v]
     assert np.allclose(fused, expected, atol=2e-5, equal_nan=True)
+    # padded variables must be inert: zero corr off-diagonal
+    pad_block = fused_full[v:, :]
+    assert np.all((pad_block == 0.0) | np.isclose(np.abs(pad_block), 1.0))
+    assert np.all(fused_full[:v, v:] == 0.0)
