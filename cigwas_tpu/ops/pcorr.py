@@ -306,6 +306,97 @@ def level1_dense_minrho(C, G):
     return rho_min[:v, :v], s_min[:v, :v]
 
 
+@partial(jax.jit, static_argnames=("tile",))
+def _hetcor1_dense_padded(C, N, t, Gm, th, tile: int):
+    """Tiled dense hetcor level-1 margin sweep over a padded (vp, vp) panel.
+
+    margin[x, y] = min over s in adj(x)\\{x, y} with t_s <= max(t_x, t_y) of
+    |rho_{xy|s}| - tanh(th / sqrt(mean_ess({x,y,s}) - 4)), where mean_ess
+    averages the pairwise sample sizes N[x,y], N[x,s], N[y,s] ignoring NaNs
+    (`hetcor-cuPC-S.cu:3068-3089`; l=1 margin semantics of
+    :func:`level_scan_hetcor`). Invalid tests contribute MARGIN_BIG.
+    """
+    vp = C.shape[0]
+    s_ix = jnp.arange(vp)
+    R = jax.lax.rsqrt(jnp.abs(1.0 - C * C))
+    P = C * R
+    Nv = jnp.nan_to_num(N)
+    Nok = (~jnp.isnan(N)).astype(jnp.float32)
+    tf = t.astype(jnp.float32)
+
+    def tile_body(i, margin_all):
+        x0 = i * tile
+        cxy = jax.lax.dynamic_slice(C, (x0, 0), (tile, vp))
+        rx = jax.lax.dynamic_slice(R, (x0, 0), (tile, vp))
+        px = jax.lax.dynamic_slice(P, (x0, 0), (tile, vp))
+        gx = jax.lax.dynamic_slice(Gm, (x0, 0), (tile, vp))
+        nxy = jax.lax.dynamic_slice(Nv, (x0, 0), (tile, vp))
+        oxy = jax.lax.dynamic_slice(Nok, (x0, 0), (tile, vp))
+        rho = jnp.abs(
+            cxy[:, :, None] * (rx[:, None, :] * R[None, :, :])
+            - px[:, None, :] * P[None, :, :]
+        )
+        total = (
+            (nxy * oxy)[:, :, None]
+            + (nxy * oxy)[:, None, :]
+            + (Nv * Nok)[None, :, :]
+        )
+        count = oxy[:, :, None] + oxy[:, None, :] + Nok[None, :, :]
+        mean_ess = total / count
+        th_test = jnp.tanh(th / jnp.sqrt(mean_ess - 4.0))
+        t_x = jax.lax.dynamic_slice(tf, (x0,), (tile,))
+        t_pair = jnp.maximum(t_x[:, None], tf[None, :])  # (tile, vp)
+        bad_time = tf[None, None, :] > t_pair[:, :, None]
+        x_ix = x0 + jnp.arange(tile)
+        bad = (
+            (s_ix[None, None, :] == x_ix[:, None, None])
+            | (s_ix[None, None, :] == s_ix[None, :, None])
+            | ~gx[:, None, :]
+            | bad_time
+        )
+        margin = rho - th_test
+        margin = jnp.where(bad | ~jnp.isfinite(margin), MARGIN_BIG, margin)
+        return jax.lax.dynamic_update_slice(
+            margin_all, jnp.min(margin, axis=2), (x0, 0)
+        )
+
+    init = jnp.full((vp, vp), MARGIN_BIG, jnp.float32)
+    return jax.lax.fori_loop(0, vp // tile, tile_body, init)
+
+
+def hetcor1_dense_margin(C_dev, N_dev, t_dev, Gb, th: float):
+    """Hetcor level 1 as one dense masked dispatch; returns margin min (v, v).
+
+    Candidates are exactly adj(x)\\{y} under the time constraint — identical
+    tests to the neighbour-list enumeration of `cal_Indepl1_ess`
+    (`hetcor-cuPC-S.cu:343-460`), minus the per-node round trips. The caller
+    removes edges where margin < 0 (one side suffices, like
+    :func:`level_scan_hetcor`).
+    """
+    C = jnp.asarray(C_dev, dtype=jnp.float32)
+    v = C.shape[0]
+    pad = (-v) % 128
+    Gm = jnp.asarray(Gb, dtype=bool)
+    N = jnp.asarray(N_dev, dtype=jnp.float32)
+    t = jnp.asarray(t_dev, dtype=jnp.int32)
+    if pad:
+        C = jnp.pad(C, ((0, pad), (0, pad)))
+        Gm = jnp.pad(Gm, ((0, pad), (0, pad)))
+        N = jnp.pad(N, ((0, pad), (0, pad)), constant_values=10.0)
+        t = jnp.pad(t, (0, pad))
+    vp = v + pad
+    if jax.default_backend() == "tpu":
+        from cigwas_tpu.ops.pallas.level1 import hetcor1_min_margin
+
+        out = hetcor1_min_margin(C, N, t, Gm, th)
+    else:
+        tile = 128
+        while tile > 8 and tile * vp * vp > (1 << 27):
+            tile //= 2
+        out = _hetcor1_dense_padded(C, N, t, Gm, jnp.float32(th), tile)
+    return np.asarray(out)[:v, :v]
+
+
 @jax.jit
 def _level1_side(rho_min, Gm, rho_threshold):
     return ((rho_min < rho_threshold) & Gm).astype(jnp.int8)

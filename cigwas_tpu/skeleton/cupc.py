@@ -457,15 +457,24 @@ def hetcor_skeleton(
             break
         if verbose:
             print(f"[hetcor_skeleton] level {l}: max degree {nprime}")
-        removed, _, _ = _run_level(
-            C_dev,
-            G.astype(np.int32),
-            l,
-            None,
-            chunk,
-            hetcor_args=(N_dev, t_dev, float(threshold)),
-            verbose=verbose,
-        )
+        if l == 1:
+            # dense masked sweep, one dispatch (same tests as the
+            # neighbour-list enumeration; see hetcor1_dense_margin)
+            margin = pcorr_ops.hetcor1_dense_margin(
+                C_dev, N_dev, t_dev, G, float(threshold)
+            )
+            cond = (margin < 0) & G
+            removed = cond | cond.T
+        else:
+            removed, _, _ = _run_level(
+                C_dev,
+                G.astype(np.int32),
+                l,
+                None,
+                chunk,
+                hetcor_args=(N_dev, t_dev, float(threshold)),
+                verbose=verbose,
+            )
         G = G & ~removed
         final_level = l
     else:

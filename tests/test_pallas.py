@@ -106,3 +106,37 @@ def test_level1_dense_minrho_xla_path_matches():
     exp, _ = _reference_masked_sweep(C, G)
     valid = exp < 2.0
     assert (np.asarray(arg)[valid] == np.asarray(arg_p)[valid]).all()
+
+
+def test_hetcor1_dense_matches_combinatorial():
+    import jax.numpy as jnp
+    from cigwas_tpu.ops import pcorr as pcorr_ops
+    from cigwas_tpu.ops.pallas.level1 import hetcor1_min_margin
+    from cigwas_tpu.skeleton import cupc
+
+    rng = np.random.default_rng(11)
+    v, n = 31, 500
+    C = np.corrcoef(rng.normal(size=(v, n))).astype(np.float32)
+    N = np.full((v, v), float(n), dtype=np.float32)
+    N += rng.integers(-50, 50, size=(v, v)).astype(np.float32)
+    N = (N + N.T) / 2
+    N[2, 5] = N[5, 2] = np.nan  # NaN pair ess must be skipped in the mean
+    t_ix = rng.integers(0, 3, size=v).astype(np.int32)
+    G = (np.abs(C) > 0.05) & ~np.eye(v, dtype=bool)
+    th = 3.3
+
+    # combinatorial reference path
+    removed_ref, _, _ = cupc._run_level(
+        jnp.asarray(C), G.astype(np.int32), 1, None, 64,
+        hetcor_args=(jnp.asarray(N), jnp.asarray(t_ix), th),
+    )
+    # dense XLA path (CPU backend)
+    margin = pcorr_ops.hetcor1_dense_margin(C, N, t_ix, G, th)
+    cond = (margin < 0) & G
+    removed_dense = cond | cond.T
+    assert (removed_dense == removed_ref).all()
+
+    # pallas kernel (interpret) agrees with the XLA fallback
+    m_pal = np.asarray(hetcor1_min_margin(C, N, t_ix, G, th, interpret=True))
+    finite = (np.abs(margin) < 1e30) | (np.abs(m_pal) < 1e30)
+    assert np.allclose(m_pal[finite], margin[finite], atol=3e-5)
