@@ -157,10 +157,22 @@ def kendall_npn_corr(
     mp = padded.shape[0]
     cols = jnp.asarray(padded)
     out = np.empty((mp, m), dtype=np.float32)
+    # bounded wave dispatch (see kendall_npn_corr_banded): each queued tile
+    # keeps its (3*row_tile, 3*mp) counts alive on device
+    wave = max(1, int(4e9 / (4 * 9 * row_tile * mp)))
+    pending = []
+
+    def drain():
+        for t0, corr_dev in pending:
+            out[t0 : t0 + row_tile] = np.asarray(corr_dev)[:, :m]
+        pending.clear()
+
     for t0 in range(0, mp, row_tile):
         counts = _kendall_counts_block(cols[t0 : t0 + row_tile], cols, n_chunks)
-        corr = _kendall_from_counts(counts)
-        out[t0 : t0 + row_tile] = np.asarray(corr)[:, :m]
+        pending.append((t0, _kendall_from_counts(counts)))
+        if len(pending) >= wave:
+            drain()
+    drain()
     res = out[:m]
     np.fill_diagonal(res, 1.0)
     return res
@@ -186,21 +198,39 @@ def kendall_npn_corr_banded(
     band = np.zeros((m, corr_width), dtype=np.float32)
     row_tile = min(row_tile, m)
     gather_ix = np.arange(1, corr_width + 1)[None, :] + np.arange(row_tile)[:, None]
+    # wave dispatch: tiles are queued before any result is fetched, so the
+    # per-dispatch latency of remote-attached TPUs is paid per wave instead
+    # of per tile; wave size is bounded by the device bytes each queued
+    # tile keeps alive (its genotype panels + counts)
+    per_tile_bytes = (2 * row_tile + corr_width) * padded.shape[1] + 4 * (
+        3 * row_tile
+    ) * 3 * (row_tile + corr_width)
+    wave = max(1, int(4e9 / per_tile_bytes))
+    pending = []
+
+    def drain():
+        for t0, rt, corr_dev in pending:
+            corr = np.asarray(corr_dev)
+            # local column index of corr(i, i+1+j) is i_local + 1 + j
+            tile_band = np.take_along_axis(
+                corr, np.minimum(gather_ix, corr.shape[1] - 1), axis=1
+            )
+            # zero out entries whose global column falls off the chromosome
+            global_col = t0 + gather_ix
+            tile_band[(global_col >= m) | ~np.isfinite(tile_band)] = 0.0
+            band[t0 : t0 + rt] = tile_band[:rt]
+        pending.clear()
+
     for t0 in range(0, m, row_tile):
         rt = min(row_tile, m - t0)
         cols_end = min(t0 + row_tile + corr_width, m)
         rows_b = _pad_rows(padded[t0 : t0 + rt], row_tile, PAD_BYTE)
         cols_b = _pad_rows(padded[t0:cols_end], row_tile + corr_width, PAD_BYTE)
         counts = _kendall_counts_block(jnp.asarray(rows_b), jnp.asarray(cols_b), n_chunks)
-        corr = np.asarray(_kendall_from_counts(counts))
-        # local column index of corr(i, i+1+j) is i_local + 1 + j
-        tile_band = np.take_along_axis(
-            corr, np.minimum(gather_ix, corr.shape[1] - 1), axis=1
-        )
-        # zero out entries whose global column falls off the chromosome
-        global_col = t0 + gather_ix
-        tile_band[(global_col >= m) | ~np.isfinite(tile_band)] = 0.0
-        band[t0 : t0 + rt] = tile_band[:rt]
+        pending.append((t0, rt, _kendall_from_counts(counts)))
+        if len(pending) >= wave:
+            drain()
+    drain()
     return band
 
 
@@ -232,6 +262,42 @@ def _marker_phen_sums(bed_bytes, phen0, phen_valid, n_chunks: int):
     return s_mp, s_p, n_val
 
 
+def marker_phen_sums_dispatch(
+    bed_bytes,
+    phen: np.ndarray,
+    num_samples: int,
+    sample_chunk: int = DEFAULT_SAMPLE_CHUNK,
+):
+    """Dispatch the marker-phen sum kernels; returns device handles (no fetch).
+
+    Pair with :func:`marker_phen_corr_from_sums` — splitting lets a caller
+    overlap the device work with other host work (block pre-screens in the
+    multi-block runner).
+    """
+    bed_bytes = np.asarray(bed_bytes, dtype=np.uint8)
+    phen = np.asarray(phen, dtype=np.float32)
+    sample_chunk = min(sample_chunk, 4 * ((bed_bytes.shape[1] + 31) // 32) * 32 * 4)
+    padded, n_chunks = _prep_bytes(bed_bytes, num_samples, sample_chunk)
+    n_padded = padded.shape[1] * 4
+    phen0 = np.zeros((phen.shape[0], n_padded), dtype=np.float32)
+    phenv = np.zeros((phen.shape[0], n_padded), dtype=np.float32)
+    phen0[:, : phen.shape[1]] = np.nan_to_num(phen)
+    phenv[:, : phen.shape[1]] = np.isfinite(phen).astype(np.float32)
+    return _marker_phen_sums(
+        jnp.asarray(padded), jnp.asarray(phen0), jnp.asarray(phenv), n_chunks
+    )
+
+
+def marker_phen_corr_from_sums(
+    handles, marker_mean: np.ndarray, marker_std: np.ndarray
+) -> np.ndarray:
+    """Finish a dispatched marker-phen correlation (fetch + host math)."""
+    s_mp, s_p, n_val = map(np.asarray, handles)
+    mean = np.asarray(marker_mean, dtype=np.float32)[:, None]
+    std = np.asarray(marker_std, dtype=np.float32)[:, None]
+    return (s_mp - mean * s_p) / (n_val * std)
+
+
 def marker_phen_corr(
     bed_bytes,
     phen: np.ndarray,
@@ -246,22 +312,8 @@ def marker_phen_corr(
     where the genotype is non-missing and the phenotype is not NaN — exactly
     `bed_marker_phen_corr_pearson` (`corr_kernels.cu:92-155`).
     """
-    bed_bytes = np.asarray(bed_bytes, dtype=np.uint8)
-    phen = np.asarray(phen, dtype=np.float32)
-    sample_chunk = min(sample_chunk, 4 * ((bed_bytes.shape[1] + 31) // 32) * 32 * 4)
-    padded, n_chunks = _prep_bytes(bed_bytes, num_samples, sample_chunk)
-    n_padded = padded.shape[1] * 4
-    phen0 = np.zeros((phen.shape[0], n_padded), dtype=np.float32)
-    phenv = np.zeros((phen.shape[0], n_padded), dtype=np.float32)
-    phen0[:, : phen.shape[1]] = np.nan_to_num(phen)
-    phenv[:, : phen.shape[1]] = np.isfinite(phen).astype(np.float32)
-    s_mp, s_p, n_val = _marker_phen_sums(
-        jnp.asarray(padded), jnp.asarray(phen0), jnp.asarray(phenv), n_chunks
-    )
-    s_mp, s_p, n_val = map(np.asarray, (s_mp, s_p, n_val))
-    mean = np.asarray(marker_mean, dtype=np.float32)[:, None]
-    std = np.asarray(marker_std, dtype=np.float32)[:, None]
-    return (s_mp - mean * s_p) / (n_val * std)
+    handles = marker_phen_sums_dispatch(bed_bytes, phen, num_samples, sample_chunk)
+    return marker_phen_corr_from_sums(handles, marker_mean, marker_std)
 
 
 def phen_phen_corr(phen: np.ndarray) -> np.ndarray:
