@@ -19,7 +19,7 @@ import os
 
 from cigwas_tpu.io import read_blocks_from_file
 from cigwas_tpu.parallel.block_scheduler import partition_blocks
-from cigwas_tpu.pipelines.cusk import cusk
+from cigwas_tpu.pipelines.cusk import CuskContext
 from cigwas_tpu.utils.timing import StageTimer
 
 
@@ -45,21 +45,30 @@ def run_all_blocks(
     index_of = {b.to_file_string(): i for i, b in enumerate(blocks)}
     timer = StageTimer(verbose=verbose, prefix="[run_all_blocks] ")
     results: dict = {}
-    for b in mine:
+    ctx = CuskContext(
+        phen_path,
+        bed_base_path,
+        block_path,
+        alpha,
+        max_level,
+        max_level_two,
+        depth,
+        outdir,
+        verbose=verbose,
+    )
+    # software pipeline: block i+1's host IO + pre-screen dispatch happen
+    # before block i's finish, so disk reads and one device round-trip per
+    # block hide behind the previous block's device work
+    prepared = ctx.prepare(index_of[mine[0].to_file_string()]) if mine else None
+    for i, b in enumerate(mine):
         stem = b.to_file_string()
+        cur, prepared = prepared, (
+            ctx.prepare(index_of[mine[i + 1].to_file_string()])
+            if i + 1 < len(mine)
+            else None
+        )
         with timer.stage(stem):
-            res = cusk(
-                phen_path,
-                bed_base_path,
-                block_path,
-                alpha,
-                max_level,
-                max_level_two,
-                depth,
-                outdir,
-                index_of[stem],
-                verbose=verbose,
-            )
+            res = ctx.finish(cur)
         results[stem] = None if res is None else res.num_markers()
     if verbose:
         print(

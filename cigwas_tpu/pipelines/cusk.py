@@ -29,7 +29,8 @@ from cigwas_tpu.ops.corr import (
     corr_panel_device,
     kendall_npn_corr,
     kendall_npn_corr_banded,
-    marker_phen_corr,
+    marker_phen_corr_from_sums,
+    marker_phen_sums_dispatch,
     pack_square_corr,
     phen_phen_corr,
 )
@@ -88,96 +89,189 @@ def cusk(
     Returns the written ReducedGCS, or None if the block was skipped because
     no marker–phenotype correlation is significant (`cli.cpp:561-576`).
     """
-    check_prepped_bed_path(bed_base_path)
-    check_path(phen_path)
-    check_path(block_path)
-    check_path(outdir)
+    ctx = CuskContext(
+        phen_path,
+        bed_base_path,
+        block_path,
+        alpha,
+        max_level,
+        max_level_two,
+        depth,
+        outdir,
+        verbose=verbose,
+    )
+    return ctx.finish(ctx.prepare(block_index))
 
-    phen = load_phen(phen_path)
-    bfiles = BfilesBase(bed_base_path)
-    dims = BedDims.from_file(bfiles.dim())
-    if phen.num_samples != dims.num_samples:
-        raise ValueError("different num samples in phen and dims")
-    bim = BimInfo(bfiles.bim())
-    num_individuals = dims.num_samples
-    num_phen = phen.num_phen
 
-    blocks = read_blocks_from_file(block_path)
-    for b in blocks:
-        if (
-            b.first_marker_ix >= bim.get_num_markers_on_chr(b.chr_id)
-            or b.last_marker_ix >= bim.get_num_markers_on_chr(b.chr_id)
-        ):
-            raise ValueError(
-                f"block out of bounds with first_ix: {b.first_marker_ix} "
-                f"last_ix: {b.last_marker_ix}"
+class CuskContext:
+    """Per-dataset state for running many cusk blocks (the `cusk-all` path).
+
+    Loading `.phen`/`.bim`/`.dim` and validating the block list is done ONCE
+    here instead of per block, and each block's work is split into
+
+    * :meth:`prepare` — host file IO (bed block, means/stds slices) plus the
+      device *dispatch* of the marker-phen pre-screen sums, and
+    * :meth:`finish` — the pre-screen fetch, the fused correlation panel and
+      the two-stage skeleton, and the block-output write.
+
+    A runner can therefore call ``prepare(i+1)`` before ``finish(i)``: block
+    i+1's disk reads and pre-screen dispatch overlap with block i's device
+    work, hiding host IO and one device round-trip per block on
+    remote-attached TPUs. `cusk` (`cli.cpp:432-678`) reloads everything per
+    process invocation; this context is the TPU-native replacement.
+    """
+
+    def __init__(
+        self,
+        phen_path: str,
+        bed_base_path: str,
+        block_path: str,
+        alpha: float,
+        max_level: int,
+        max_level_two: int,
+        depth: int,
+        outdir: str,
+        verbose: bool = True,
+    ):
+        check_prepped_bed_path(bed_base_path)
+        check_path(phen_path)
+        check_path(block_path)
+        check_path(outdir)
+
+        self.phen = load_phen(phen_path)
+        self.bfiles = BfilesBase(bed_base_path)
+        self.dims = BedDims.from_file(self.bfiles.dim())
+        if self.phen.num_samples != self.dims.num_samples:
+            raise ValueError("different num samples in phen and dims")
+        self.bim = BimInfo(self.bfiles.bim())
+        self.max_level = max_level
+        self.max_level_two = max_level_two
+        self.depth = depth
+        self.outdir = outdir
+        self.verbose = verbose
+
+        self.blocks = read_blocks_from_file(block_path)
+        for b in self.blocks:
+            if (
+                b.first_marker_ix >= self.bim.get_num_markers_on_chr(b.chr_id)
+                or b.last_marker_ix >= self.bim.get_num_markers_on_chr(b.chr_id)
+            ):
+                raise ValueError(
+                    f"block out of bounds with first_ix: {b.first_marker_ix} "
+                    f"last_ix: {b.last_marker_ix}"
+                )
+        self.Th = threshold_array(self.dims.num_samples, alpha)
+
+    def prepare(self, block_index: int) -> dict:
+        """Host IO + pre-screen dispatch for one block (no device fetch)."""
+        block = self.blocks[block_index]
+        num_markers = block.block_size()
+        if self.verbose:
+            print(
+                f"Processing block {block_index + 1} / {len(self.blocks)} "
+                f"({num_markers} markers)"
             )
-
-    Th = threshold_array(num_individuals, alpha)
-    block = blocks[block_index]
-    num_markers = block.block_size()
-    if verbose:
-        print(f"Processing block {block_index + 1} / {len(blocks)} ({num_markers} markers)")
-
-    bedblock = read_block_from_bed(bfiles.bed(), block, dims, bim)
-    chr_start = bim.get_global_chr_start(block.chr_id)
-    means = read_floats_from_line_range(
-        bfiles.means(),
-        chr_start + block.first_marker_ix,
-        chr_start + block.last_marker_ix,
-    )
-    stds = read_floats_from_line_range(
-        bfiles.stds(),
-        chr_start + block.first_marker_ix,
-        chr_start + block.last_marker_ix,
-    )
-    if means.size != num_markers or stds.size != num_markers:
-        raise ValueError("block size and number of means or stds differ")
-
-    # pre-screen: skip blocks without any significant marker-phen correlation
-    mp_corr = marker_phen_corr(bedblock, phen.data, means, stds, num_individuals)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        num_sig = int((fisher_z(mp_corr) >= Th[0]).sum())
-    if num_sig == 0:
-        if verbose:
-            print("No significant correlations found. Skipping block.")
-        return None
-    if verbose:
-        print(f"Found {num_sig} marker-phen correlations. Proceeding.")
-
-    num_var = num_markers + num_phen
-    if num_markers <= 4096:
-        # fused device panel: decode once, keep C on device for the skeleton
-        C_dev, v_panel = corr_panel_device(
-            bedblock, phen.data, means, stds, num_individuals
+        bedblock = read_block_from_bed(self.bfiles.bed(), block, self.dims, self.bim)
+        chr_start = self.bim.get_global_chr_start(block.chr_id)
+        means = read_floats_from_line_range(
+            self.bfiles.means(),
+            chr_start + block.first_marker_ix,
+            chr_start + block.last_marker_ix,
         )
-        sq_corrs = np.asarray(C_dev)[:v_panel, :v_panel]
-        res1 = skeleton(sq_corrs, Th, max_level, verbose=verbose, C_dev=C_dev)
-    else:
-        mm_corr = kendall_npn_corr(bedblock, num_individuals)
-        pp_corr = phen_phen_corr(phen.data)
-        sq_corrs = pack_square_corr(mm_corr, mp_corr, pp_corr)
-        res1 = skeleton(sq_corrs, Th, max_level, verbose=verbose)
-    keep = subset_variables(res1.G, num_var, num_markers, depth)
-    gcs = reduce_gcs(res1.G, sq_corrs, res1.sepset, keep, num_var, num_phen, max_level)
+        stds = read_floats_from_line_range(
+            self.bfiles.stds(),
+            chr_start + block.first_marker_ix,
+            chr_start + block.last_marker_ix,
+        )
+        if means.size != num_markers or stds.size != num_markers:
+            raise ValueError("block size and number of means or stds differ")
+        handles = marker_phen_sums_dispatch(
+            bedblock, self.phen.data, self.dims.num_samples
+        )
+        return {
+            "block": block,
+            "bedblock": bedblock,
+            "means": means,
+            "stds": stds,
+            "mp_handles": handles,
+        }
 
-    # stage 2 (`reduced_gcs_cusk`, `cli.cpp:62-87`): Skeleton re-screens from
-    # the reduced correlations (its level 0 rebuilds the adjacency)
-    if verbose:
-        print("Starting second cusk stage")
-    res2 = skeleton(gcs.C, Th, max_level_two, verbose=verbose)
-    keep2 = subset_variables(res2.G, gcs.num_var, gcs.num_markers(), depth)
-    gcs2 = reduce_gcs(
-        res2.G,
-        gcs.C,
-        res2.sepset,
-        keep2,
-        gcs.num_var,
-        num_phen,
-        ML,
-        index_map=gcs.new_to_old_indices,
-    )
-    if verbose:
-        print(f"Retained {gcs2.num_markers()} markers")
-    gcs2.to_file(make_path(outdir, block.to_file_string(), ""))
-    return gcs2
+    def finish(self, prep: dict):
+        """Pre-screen fetch + panel + two-stage skeleton + output write."""
+        block = prep["block"]
+        bedblock = prep["bedblock"]
+        means = prep["means"]
+        stds = prep["stds"]
+        num_markers = block.block_size()
+        num_phen = self.phen.num_phen
+        num_individuals = self.dims.num_samples
+        Th = self.Th
+        verbose = self.verbose
+
+        # pre-screen: skip blocks without any significant marker-phen
+        # correlation (`cli.cpp:561-576`)
+        mp_corr = marker_phen_corr_from_sums(prep["mp_handles"], means, stds)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            num_sig = int((fisher_z(mp_corr) >= Th[0]).sum())
+        if num_sig == 0:
+            if verbose:
+                print("No significant correlations found. Skipping block.")
+            return None
+        if verbose:
+            print(f"Found {num_sig} marker-phen correlations. Proceeding.")
+
+        return self._run_block(
+            block, bedblock, means, stds, mp_corr, num_markers, num_phen,
+            num_individuals,
+        )
+
+    def _run_block(
+        self, block, bedblock, means, stds, mp_corr, num_markers, num_phen,
+        num_individuals,
+    ):
+        Th = self.Th
+        verbose = self.verbose
+        max_level = self.max_level
+        max_level_two = self.max_level_two
+        depth = self.depth
+        phen = self.phen
+        outdir = self.outdir
+        num_var = num_markers + num_phen
+        if num_markers <= 4096:
+            # fused device panel: decode once, keep C on device for the
+            # skeleton
+            C_dev, v_panel = corr_panel_device(
+                bedblock, phen.data, means, stds, num_individuals
+            )
+            sq_corrs = np.asarray(C_dev)[:v_panel, :v_panel]
+            res1 = skeleton(sq_corrs, Th, max_level, verbose=verbose, C_dev=C_dev)
+        else:
+            mm_corr = kendall_npn_corr(bedblock, num_individuals)
+            pp_corr = phen_phen_corr(phen.data)
+            sq_corrs = pack_square_corr(mm_corr, mp_corr, pp_corr)
+            res1 = skeleton(sq_corrs, Th, max_level, verbose=verbose)
+        keep = subset_variables(res1.G, num_var, num_markers, depth)
+        gcs = reduce_gcs(
+            res1.G, sq_corrs, res1.sepset, keep, num_var, num_phen, max_level
+        )
+
+        # stage 2 (`reduced_gcs_cusk`, `cli.cpp:62-87`): Skeleton re-screens
+        # from the reduced correlations (its level 0 rebuilds the adjacency)
+        if verbose:
+            print("Starting second cusk stage")
+        res2 = skeleton(gcs.C, Th, max_level_two, verbose=verbose)
+        keep2 = subset_variables(res2.G, gcs.num_var, gcs.num_markers(), depth)
+        gcs2 = reduce_gcs(
+            res2.G,
+            gcs.C,
+            res2.sepset,
+            keep2,
+            gcs.num_var,
+            num_phen,
+            ML,
+            index_map=gcs.new_to_old_indices,
+        )
+        if verbose:
+            print(f"Retained {gcs2.num_markers()} markers")
+        gcs2.to_file(make_path(outdir, block.to_file_string(), ""))
+        return gcs2
