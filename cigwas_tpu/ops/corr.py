@@ -163,6 +163,8 @@ def kendall_npn_corr(
     pending = []
 
     def drain():
+        for _, corr_dev in pending:
+            corr_dev.copy_to_host_async()
         for t0, corr_dev in pending:
             out[t0 : t0 + row_tile] = np.asarray(corr_dev)[:, :m]
         pending.clear()
@@ -209,6 +211,8 @@ def kendall_npn_corr_banded(
     pending = []
 
     def drain():
+        for _, _, corr_dev in pending:
+            corr_dev.copy_to_host_async()
         for t0, rt, corr_dev in pending:
             corr = np.asarray(corr_dev)
             # local column index of corr(i, i+1+j) is i_local + 1 + j

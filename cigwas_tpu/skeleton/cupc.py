@@ -234,6 +234,12 @@ def _run_level(
                 n_launches += 1
             next_work.append((d_pad, remaining, offset + chunk * n_chunks))
 
+        # start all host copies before the first blocking read: one
+        # round-trip latency per wave instead of one per launch
+        for _, _, _, _, rho_dev, rank_dev in pending:
+            rho_dev.copy_to_host_async()
+            if rank_dev is not None:
+                rank_dev.copy_to_host_async()
         for tile, nbrs, deg, offset, rho_dev, rank_dev in pending:
             rho_c = np.asarray(rho_dev)
             if rank_dev is not None:
