@@ -82,6 +82,7 @@ def cmd_cuskss(args):
         max_depth=args.max_depth,
         num_samples=args.num_samples,
         outdir=args.outdir,
+        ess_mode=args.ess_mode,
     )
     cuskss(ca)
     if args.marker_indices != "NULL":
@@ -219,6 +220,15 @@ def build_parser() -> argparse.ArgumentParser:
         "--num-samples", type=_bounded(int, "num-samples", 1), required=True
     )
     p.add_argument("--outdir", type=str, default="./")
+    p.add_argument(
+        "--ess-mode",
+        type=str,
+        choices=["reference", "float"],
+        default="reference",
+        help="mean_ess semantics for hetcor levels >= 1: 'reference' "
+        "reproduces the per-pair int truncation of hetcor-cuPC-S.cu:3068-3089 "
+        "(default), 'float' uses full-precision NaN-aware means",
+    )
     p.set_defaults(func=cmd_cuskss)
 
     p = sub.add_parser(

@@ -92,8 +92,10 @@ class BlockOutput:
         dm = self._load_dense(".corr", np.float32)
         dm2sm = self._dm2sm()
         ii, jj = np.nonzero(dm)
+        # keep np.float32 scalars: the .mtx writer formats them with numpy's
+        # shortest repr, byte-identical to the reference's output
         return {
-            (int(dm2sm[i]), int(dm2sm[j])): float(dm[i, j]) for i, j in zip(ii, jj)
+            (int(dm2sm[i]), int(dm2sm[j])): dm[i, j] for i, j in zip(ii, jj)
         }
 
     def ssm(self) -> dict:

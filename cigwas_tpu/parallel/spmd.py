@@ -20,8 +20,6 @@ ICI inside a slice.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -30,47 +28,13 @@ try:
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
+from cigwas_tpu.ops.corr import _kendall_from_counts
+from cigwas_tpu.ops.decode import geno_onehot, geno_value_valid
+
 
 def _onehot(codes: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
     """(m, n) 2-bit codes -> (3m, n) one-hot with missing folded to zero."""
-    g0 = (codes == 3).astype(dtype)
-    g1 = (codes == 2).astype(dtype)
-    g2 = (codes == 0).astype(dtype)
-    return jnp.stack([g0, g1, g2], axis=1).reshape(3 * codes.shape[0], -1)
-
-
-def _kendall_from_counts(S):
-    s = [S[..., i // 3, i % 3] for i in range(9)]
-    p = (
-        s[0] * (s[4] + s[5] + s[7] + s[8])
-        + s[1] * (s[5] + s[8])
-        + s[3] * (s[7] + s[8])
-        + s[4] * s[8]
-    )
-    q = (
-        s[1] * (s[3] + s[6])
-        + s[2] * (s[3] + s[4] + s[6] + s[7])
-        + s[4] * s[6]
-        + s[5] * (s[6] + s[7])
-    )
-    t = (
-        s[0] * (s[1] + s[2])
-        + s[1] * s[2]
-        + s[3] * (s[4] + s[5])
-        + s[4] * s[5]
-        + s[6] * (s[7] + s[8])
-        + s[7] * s[8]
-    )
-    u = (
-        s[0] * (s[3] + s[6])
-        + s[1] * (s[4] + s[7])
-        + s[2] * (s[5] + s[8])
-        + s[3] * s[6]
-        + s[4] * s[7]
-        + s[5] * s[8]
-    )
-    tau = (p - q) / jnp.sqrt((p + q + t) * (p + q + u))
-    return jnp.sin(jnp.pi / 2 * tau)
+    return geno_onehot(codes, dtype=dtype).reshape(3 * codes.shape[0], -1)
 
 
 def _fisher(v):
@@ -101,12 +65,9 @@ def build_multichip_cusk_step(mesh: Mesh, th0: float, th1: float):
                 counts.reshape(ms, 3, m, 3).transpose(0, 2, 1, 3)
             )  # (ms, m)
 
-            # marker-phen pearson on standardized traits (sample psum)
-            valid = ((codes_b != 1)).astype(jnp.float32)
-            vals = (
-                (codes_b == 0).astype(jnp.float32) * 2.0
-                + (codes_b == 2).astype(jnp.float32) * 1.0
-            )
+            # marker-phen pearson on standardized traits (sample psum);
+            # missing codes decode to (2.0, valid=0) so vals * valid drops them
+            vals, valid = geno_value_valid(codes_b)
             s_mp = jax.lax.psum(jnp.dot(vals * valid, phen_b.T), "sample")
             s_p = jax.lax.psum(jnp.dot(valid, phen_b.T), "sample")
             n_val = jax.lax.psum(jnp.sum(valid, axis=1, keepdims=True), "sample")

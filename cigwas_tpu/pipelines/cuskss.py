@@ -52,6 +52,10 @@ class CuskssArgs:
     pxp_se_path: str
     time_index_path: str
     outdir: str
+    # `mean_ess` semantics for hetcor levels >= 1 ("reference" = int
+    # truncation quirk, "float" = intended math); see
+    # `cigwas_tpu.skeleton.cupc.hetcor_skeleton`.
+    ess_mode: str = "reference"
 
     @classmethod
     def from_paths(
@@ -72,6 +76,7 @@ class CuskssArgs:
         max_depth: int = 1,
         num_samples: float,
         outdir: str = "./",
+        ess_mode: str = "reference",
     ) -> "CuskssArgs":
         return cls(
             merged=marker_indices != "NULL",
@@ -94,6 +99,7 @@ class CuskssArgs:
             pxp_se_path=pxp_se,
             time_index_path=time_index,
             outdir=outdir,
+            ess_mode=ess_mode,
         )
 
 
@@ -131,12 +137,14 @@ def run_cusk(
     max_level: int,
     time_index_traits: list[int],
     verbose: bool = False,
+    ess_mode: str = "reference",
 ) -> ReducedGC:
     """One hetcor-skeleton stage + ancestor reduction (`run_cusk`, `cli.cpp:29-60`)."""
     time_index = np.zeros(gc.num_var, dtype=np.int32)
     time_index[gc.num_markers() :] = np.asarray(time_index_traits, dtype=np.int32)
     res = hetcor_skeleton(
-        gc.C, gc.G, gc.S, threshold, max_level, time_index=time_index, verbose=verbose
+        gc.C, gc.G, gc.S, threshold, max_level, time_index=time_index,
+        verbose=verbose, ess_mode=ess_mode,
     )
     keep = subset_variables(res.G, gc.num_var, gc.num_markers(), max_depth)
     return reduce_gc(
@@ -185,7 +193,8 @@ def cuskss(args: CuskssArgs, verbose: bool = True) -> ReducedGC:
             S=pxp.get_sample_sizes(),
         )
         gc = run_cusk(
-            gc, th, args.depth, args.max_level_one, time_index_traits, verbose=verbose
+            gc, th, args.depth, args.max_level_one, time_index_traits,
+            verbose=verbose, ess_mode=args.ess_mode,
         )
         gc.to_file(make_path(args.outdir, "trait_only", ""))
         if verbose:
@@ -220,13 +229,15 @@ def cuskss(args: CuskssArgs, verbose: bool = True) -> ReducedGC:
     if verbose:
         print("Starting first cusk stage")
     gc = run_cusk(
-        gc, th, args.depth, args.max_level_one, time_index_traits, verbose=verbose
+        gc, th, args.depth, args.max_level_one, time_index_traits,
+        verbose=verbose, ess_mode=args.ess_mode,
     )
     if args.two_stage:
         if verbose:
             print("Starting second cusk stage")
         gc = run_cusk(
-            gc, th, args.depth, args.max_level_two, time_index_traits, verbose=verbose
+            gc, th, args.depth, args.max_level_two, time_index_traits,
+            verbose=verbose, ess_mode=args.ess_mode,
         )
     if verbose:
         print(f"Retained {gc.num_markers()} markers")

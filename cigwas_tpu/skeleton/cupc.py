@@ -417,13 +417,30 @@ def hetcor_skeleton(
     time_index: np.ndarray | None = None,
     chunk: int = DEFAULT_CHUNK,
     verbose: bool = False,
+    ess_mode: str = "reference",
 ) -> SkeletonResult:
     """Skeleton with per-pair effective sample sizes and time constraints.
 
     Equivalent of `hetcor_skeleton` (`hetcor-cuPC-S.cu:75-341`): honours the
     incoming adjacency (level 0 only deletes), uses per-test thresholds
     th / sqrt(mean_ess - l - 3), and returns adjacency only (no sepsets).
+
+    ess_mode selects the `mean_ess` semantics for levels >= 1
+    (`hetcor-cuPC-S.cu:3068-3089`):
+
+    * ``"reference"`` (default) reproduces the reference exactly: each
+      pairwise ESS is read through ``int loc_val = N[...]`` — truncated
+      toward zero — and the subsequent ``isnan(loc_val)`` tests the
+      already-converted int, so it never fires: a NaN entry converts to 0
+      (CUDA float->int of NaN) and IS counted in the mean.
+    * ``"float"`` is the intended behavior: full-precision pairwise ESS with
+      NaN entries excluded from the mean.
+
+    Level 0 always uses the raw per-pair N (`cal_Indepl0_ess`,
+    `hetcor-cuPC-S.cu:343-377` reads the float directly).
     """
+    if ess_mode not in ("reference", "float"):
+        raise ValueError(f"unknown ess_mode: {ess_mode!r}")
     C = np.asarray(C, dtype=np.float32)
     v_real = C.shape[0]
     pad = (-v_real) % PANEL_ALIGN
@@ -452,7 +469,13 @@ def hetcor_skeleton(
     np.fill_diagonal(G, False)
 
     C_dev = jnp.asarray(C)
-    N_dev = jnp.asarray(N)
+    if ess_mode == "reference":
+        # NaN-free N makes the kernels' NaN masks all-false, i.e. every pair
+        # is counted — exactly the reference's dead NaN check (see docstring)
+        N_lvl = np.trunc(np.nan_to_num(N, nan=0.0)).astype(np.float32)
+    else:
+        N_lvl = N
+    N_dev = jnp.asarray(N_lvl)
     t_dev = jnp.asarray(time_index)
     final_level = 0
     for l in range(1, min(ML, max_level) + 1):

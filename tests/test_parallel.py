@@ -125,7 +125,38 @@ def test_partition_blocks_balances_cost():
         MarkerBlock("1", 1000 + i * 10, 1000 + i * 10 + 9) for i in range(10)
     ]
     parts = [partition_blocks(blocks, 2, i) for i in range(2)]
+    assert len(parts[0]) + len(parts[1]) == len(blocks)
+    # LPT on size^2: the giant block (cost 1000^2) dominates, so it must sit
+    # alone and ALL ten small blocks (cost 10 x 10^2) go to the other
+    # partition — a naive contiguous split would fail this
+    sizes = sorted((len(parts[0]), len(parts[1])))
+    assert sizes == [1, 10]
+    costs = sorted(sum(b.block_size() ** 2 for b in p) for p in parts)
+    assert costs == [10 * 10**2, 1000**2]
+
+
+def test_partition_blocks_lpt_near_optimal_balance():
+    """On equal-size blocks the LPT partition must be exactly balanced, and
+    on mixed sizes the makespan must be within max-block-cost of optimal."""
+    from cigwas_tpu.io.blocks import MarkerBlock
+
+    equal = [MarkerBlock("1", i * 10, i * 10 + 9) for i in range(12)]
+    parts = [partition_blocks(equal, 4, i) for i in range(4)]
+    assert [len(p) for p in parts] == [3, 3, 3, 3]
+
+    rng = np.random.default_rng(3)
+    sizes = rng.integers(10, 200, size=23)
+    start = np.concatenate([[0], np.cumsum(sizes)])
+    mixed = [
+        MarkerBlock("1", int(start[i]), int(start[i] + sizes[i] - 1))
+        for i in range(len(sizes))
+    ]
+    parts = [partition_blocks(mixed, 4, i) for i in range(4)]
     costs = [sum(b.block_size() ** 2 for b in p) for p in parts]
-    # the giant block dominates; the other partition takes all small ones
-    assert min(costs) > 0
-    assert abs(len(parts[0]) + len(parts[1])) == len(blocks)
+    total = sum(costs)
+    max_item = max(b.block_size() ** 2 for b in mixed)
+    # LPT guarantee: makespan <= avg + largest item
+    assert max(costs) <= total / 4 + max_item
+    # and nothing lost or duplicated
+    seen = sorted(b.to_file_string() for p in parts for b in p)
+    assert seen == sorted(b.to_file_string() for b in mixed)

@@ -208,3 +208,65 @@ def test_skeleton_level_four_separation():
     # parents stay adjacent to both
     for i in range(4):
         assert res.G[i, 4] == 1 and res.G[i, 5] == 1
+
+
+class TestHetcorEssMode:
+    """The two `mean_ess` semantics (`hetcor-cuPC-S.cu:3068-3089`)."""
+
+    @staticmethod
+    def _panel(rho_target):
+        """4-var panel whose only level-1 test of interest is (0,1|2):
+        partial corr rho_{01|2} == rho_target, node 3 isolated."""
+        c02 = c12 = 0.5
+        c01 = rho_target * np.sqrt((1 - c02**2) * (1 - c12**2)) + c02 * c12
+        C = np.eye(4, dtype=np.float32)
+        C[0, 1] = C[1, 0] = c01
+        C[0, 2] = C[2, 0] = c02
+        C[1, 2] = C[2, 1] = c12
+        return C
+
+    def test_fractional_ess_truncation_flips_adjacency(self):
+        """With fractional per-pair ESS, the reference's int truncation of
+        each pairwise N (`int loc_val = N[...]`) lowers mean_ess, raising the
+        per-test threshold -> an edge right at the boundary is deleted in
+        'reference' mode but kept in 'float' mode."""
+        alpha = 1e-2
+        th = hetcor_threshold(alpha)
+        ess = 102.9
+        th_float = np.tanh(th / np.sqrt(ess - 1 - 3))
+        th_ref = np.tanh(th / np.sqrt(np.trunc(ess) - 1 - 3))
+        assert th_ref > th_float
+        rho = float((th_ref + th_float) / 2)  # between the two thresholds
+        C = self._panel(rho)
+        N = np.full((4, 4), ess, dtype=np.float32)
+        G = np.ones((4, 4), dtype=np.int32)
+
+        res_ref = hetcor_skeleton(C, G.copy(), N, th, 14, ess_mode="reference")
+        res_float = hetcor_skeleton(C, G.copy(), N, th, 14, ess_mode="float")
+        assert res_ref.G[0, 1] == 0  # truncation raises the threshold
+        assert res_float.G[0, 1] == 1
+        assert not np.array_equal(res_ref.G, res_float.G)
+
+    def test_nan_ess_counted_as_zero_in_reference_mode(self):
+        """A NaN pairwise ESS converts to int 0 and IS counted by the
+        reference's dead `isnan(loc_val)` check, dragging mean_ess down ->
+        lower threshold. 'float' mode excludes it from the mean."""
+        alpha = 1e-2
+        th = hetcor_threshold(alpha)
+        ess = 120.0
+        # reference: mean over {(0,1)=NaN->0, (0,2)=120, (1,2)=120} = 80
+        th_ref = np.tanh(th / np.sqrt(80.0 - 1 - 3))
+        # float: NaN excluded -> mean = 120
+        th_float = np.tanh(th / np.sqrt(120.0 - 1 - 3))
+        assert th_ref > th_float
+        rho = float((th_ref + th_float) / 2)
+        C = self._panel(rho)
+        N = np.full((4, 4), ess, dtype=np.float32)
+        N[0, 1] = N[1, 0] = np.nan
+        G = np.ones((4, 4), dtype=np.int32)
+        # keep level 0 of the NaN pair alive: level 0 reads the raw float N
+        # (NaN threshold compares false -> edge kept), both modes agree there
+        res_ref = hetcor_skeleton(C, G.copy(), N, th, 14, ess_mode="reference")
+        res_float = hetcor_skeleton(C, G.copy(), N, th, 14, ess_mode="float")
+        assert res_ref.G[0, 1] == 0
+        assert res_float.G[0, 1] == 1
