@@ -2,5 +2,12 @@ from cigwas_tpu.parallel.mesh import make_mesh
 from cigwas_tpu.parallel.spmd import build_multichip_cusk_step
 from cigwas_tpu.parallel.block_scheduler import partition_blocks
 from cigwas_tpu.parallel.runner import run_all_blocks
+from cigwas_tpu.parallel.sharded import ShardedEngine
 
-__all__ = ["make_mesh", "build_multichip_cusk_step", "partition_blocks", "run_all_blocks"]
+__all__ = [
+    "make_mesh",
+    "build_multichip_cusk_step",
+    "partition_blocks",
+    "run_all_blocks",
+    "ShardedEngine",
+]

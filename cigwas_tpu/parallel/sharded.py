@@ -1,0 +1,471 @@
+"""Sharded production skeleton: the two-stage cusk engine on a device mesh.
+
+This is the multi-chip path of the PRODUCTION engine (`skeleton()` /
+`hetcor_skeleton` / `corr_panel_device`), not a demo: `pipelines.cusk` takes
+a mesh and every device kernel of the level search runs SPMD over it.
+
+Sharding layout (axis name given by the caller, conventionally ``marker``):
+
+* correlation panel: the contingency/covariance matmuls are sharded over
+  marker ROW slabs — each device computes (3·m/D, n) x (n, 3·m) counts on
+  its slab — and the finished (v, v) panel is all-gathered to every device.
+  Replicating the panel is deliberate: the level kernels read arbitrary
+  (x, y, S) entries, and one v5e chip holds an 11k-variable f32 panel in
+  <0.5 GB of HBM (the reference's ~9.3 GB working set, `cuPC-S.cu:85-95`,
+  is dominated by the n²·ML sepset array, which lives on the host here).
+* level 1: the dense min-|rho| sweep is sharded over x-row slabs.
+* levels >= 2: `level_scan_minrho` / `level_scan_hetcor` node tiles are
+  sharded over the mesh axis — each device enumerates the conditioning sets
+  of its node shard; results are all-gathered.
+
+Every reduction stays per-(node, neighbour); device placement changes which
+chip computes a row, never the row's value — block outputs are byte-identical
+to the single-device path (tests/test_sharded_skeleton.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map  # jax >= 0.7
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from cigwas_tpu.ops import pcorr as pcorr_ops
+from cigwas_tpu.ops.corr import _kendall_from_counts
+from cigwas_tpu.ops.decode import geno_onehot, geno_value_valid, unpack_bed_codes
+
+
+def mesh_axis_size(mesh: Mesh, axis: str) -> int:
+    return mesh.shape[axis]
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    try:
+        return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                         check_vma=False)
+    except TypeError:  # older shard_map API
+        return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                         check_rep=False)
+
+
+# ---------------------------------------------------------------------------
+# level >= 2: node-sharded combination scans
+# ---------------------------------------------------------------------------
+
+
+def make_level_scan_sharded(mesh: Mesh, axis: str):
+    """Sharded `level_scan_minrho`: node tiles split over `axis`.
+
+    Returns a callable with the same signature as
+    :func:`cigwas_tpu.ops.pcorr.level_scan_minrho`; the node-tile length must
+    be a multiple of the axis size (the caller pads tiles already).
+    """
+
+    def local(C, node_ixs, nbrs, deg, combos_seq, left_seq, l):
+        return pcorr_ops.level_scan_minrho(
+            C, node_ixs, nbrs, deg, combos_seq, left_seq, l
+        )
+
+    cache = {}
+
+    def run(C, node_ixs, nbrs, deg, combos_seq, left_seq, l: int):
+        fn = cache.get(l)
+        if fn is None:
+            fn = jax.jit(
+                _shard_map(
+                    partial(local, l=l),
+                    mesh,
+                    in_specs=(
+                        P(None, None),  # C replicated
+                        P(axis),
+                        P(axis, None),
+                        P(axis),
+                        P(None, None, None),  # combos replicated
+                        P(None, axis),
+                    ),
+                    out_specs=(P(axis, None), P(axis, None)),
+                )
+            )
+            cache[l] = fn
+        return fn(C, node_ixs, nbrs, deg, combos_seq, left_seq)
+
+    return run
+
+
+def make_level_scan_hetcor_sharded(mesh: Mesh, axis: str):
+    """Sharded `level_scan_hetcor` (same layout; N/time replicated)."""
+
+    def local(C, N, t, node_ixs, nbrs, deg, combos_seq, left_seq, th, l):
+        return pcorr_ops.level_scan_hetcor(
+            C, N, t, node_ixs, nbrs, deg, combos_seq, left_seq, th, l
+        )
+
+    cache = {}
+
+    def run(C, N, t, node_ixs, nbrs, deg, combos_seq, left_seq, th, l: int):
+        fn = cache.get(l)
+        if fn is None:
+            fn = jax.jit(
+                _shard_map(
+                    partial(local, l=l),
+                    mesh,
+                    in_specs=(
+                        P(None, None),
+                        P(None, None),
+                        P(None),
+                        P(axis),
+                        P(axis, None),
+                        P(axis),
+                        P(None, None, None),
+                        P(None, axis),
+                        P(),
+                    ),
+                    out_specs=P(axis, None),
+                )
+            )
+            cache[l] = fn
+        return fn(C, N, t, node_ixs, nbrs, deg, combos_seq, left_seq, th)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# level 1: x-row-sharded dense sweeps
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("tile",))
+def _level1_rows(C, G_rows, x0, tile: int):
+    """Dense level-1 sweep for a slab of x rows starting at global row x0.
+
+    Same tests as `_level1_dense_padded` (`cal_Indepl1`, `cuPC-S.cu:486-582`)
+    with the global row offset explicit so a shard can own any slab.
+    """
+    vp = C.shape[0]
+    rows = G_rows.shape[0]
+    s_ix = jnp.arange(vp)
+    R = jax.lax.rsqrt(jnp.abs(1.0 - C * C))
+    Pm = C * R
+
+    def tile_body(t, carry):
+        rho_all, s_all = carry
+        r0 = t * tile
+        gx = jax.lax.dynamic_slice(G_rows, (r0, 0), (tile, vp))
+        cxy = jax.lax.dynamic_slice(C, (x0 + r0, 0), (tile, vp))
+        rx = jax.lax.dynamic_slice(R, (x0 + r0, 0), (tile, vp))
+        px = jax.lax.dynamic_slice(Pm, (x0 + r0, 0), (tile, vp))
+        rho = jnp.abs(
+            cxy[:, :, None] * (rx[:, None, :] * R[None, :, :])
+            - px[:, None, :] * Pm[None, :, :]
+        )
+        x_ix = x0 + r0 + jnp.arange(tile)
+        bad = (
+            (s_ix[None, None, :] == x_ix[:, None, None])
+            | (s_ix[None, None, :] == s_ix[None, :, None])
+            | ~gx[:, None, :]
+        )
+        rho = jnp.where(bad | ~jnp.isfinite(rho), pcorr_ops.RHO_BIG, rho)
+        return (
+            jax.lax.dynamic_update_slice(rho_all, jnp.min(rho, axis=2), (r0, 0)),
+            jax.lax.dynamic_update_slice(
+                s_all, jnp.argmin(rho, axis=2).astype(jnp.int32), (r0, 0)
+            ),
+        )
+
+    init = (
+        jnp.full((rows, vp), pcorr_ops.RHO_BIG, jnp.float32),
+        jnp.zeros((rows, vp), jnp.int32),
+    )
+    return jax.lax.fori_loop(0, rows // tile, tile_body, init)
+
+
+def make_level1_sharded(mesh: Mesh, axis: str):
+    """Sharded dense level-1 screen; same contract as `level1_dense_minrho`."""
+    ndev = mesh_axis_size(mesh, axis)
+
+    def run(C, Gm):
+        C = jnp.asarray(C, dtype=jnp.float32)
+        v = C.shape[0]
+        Gm = jnp.asarray(Gm, dtype=bool)
+        # rows per shard must be a multiple of the inner tile
+        tile = 8
+        pad = (-v) % (ndev * tile)
+        if pad:
+            C = jnp.pad(C, ((0, pad), (0, pad)))
+            Gm = jnp.pad(Gm, ((0, pad), (0, pad)))
+        vp = v + pad
+
+        def local(C_full, G_rows):
+            x0 = jax.lax.axis_index(axis) * (vp // ndev)
+            return _level1_rows(C_full, G_rows, x0, tile)
+
+        rho, s = jax.jit(
+            _shard_map(
+                local, mesh,
+                in_specs=(P(None, None), P(axis, None)),
+                out_specs=(P(axis, None), P(axis, None)),
+            )
+        )(C, Gm)
+        return rho[:v, :v], s[:v, :v]
+
+    return run
+
+
+@partial(jax.jit, static_argnames=("tile",))
+def _hetcor1_rows(C, N, t, G_rows, th, x0, tile: int):
+    """Hetcor level-1 margin sweep for a slab of x rows at offset x0
+    (`_hetcor1_dense_padded` with explicit slab offset)."""
+    vp = C.shape[0]
+    rows = G_rows.shape[0]
+    s_ix = jnp.arange(vp)
+    R = jax.lax.rsqrt(jnp.abs(1.0 - C * C))
+    Pm = C * R
+    Nv = jnp.nan_to_num(N)
+    Nok = (~jnp.isnan(N)).astype(jnp.float32)
+    tf = t.astype(jnp.float32)
+
+    def tile_body(i, margin_all):
+        r0 = i * tile
+        gx = jax.lax.dynamic_slice(G_rows, (r0, 0), (tile, vp))
+        cxy = jax.lax.dynamic_slice(C, (x0 + r0, 0), (tile, vp))
+        rx = jax.lax.dynamic_slice(R, (x0 + r0, 0), (tile, vp))
+        px = jax.lax.dynamic_slice(Pm, (x0 + r0, 0), (tile, vp))
+        nxy = jax.lax.dynamic_slice(Nv, (x0 + r0, 0), (tile, vp))
+        oxy = jax.lax.dynamic_slice(Nok, (x0 + r0, 0), (tile, vp))
+        rho = jnp.abs(
+            cxy[:, :, None] * (rx[:, None, :] * R[None, :, :])
+            - px[:, None, :] * Pm[None, :, :]
+        )
+        total = (
+            (nxy * oxy)[:, :, None]
+            + (nxy * oxy)[:, None, :]
+            + (Nv * Nok)[None, :, :]
+        )
+        count = oxy[:, :, None] + oxy[:, None, :] + Nok[None, :, :]
+        mean_ess = total / count
+        th_test = jnp.tanh(th / jnp.sqrt(mean_ess - 4.0))
+        t_x = jax.lax.dynamic_slice(tf, (x0 + r0,), (tile,))
+        t_pair = jnp.maximum(t_x[:, None], tf[None, :])
+        bad_time = tf[None, None, :] > t_pair[:, :, None]
+        x_ix = x0 + r0 + jnp.arange(tile)
+        bad = (
+            (s_ix[None, None, :] == x_ix[:, None, None])
+            | (s_ix[None, None, :] == s_ix[None, :, None])
+            | ~gx[:, None, :]
+            | bad_time
+        )
+        margin = rho - th_test
+        margin = jnp.where(bad | ~jnp.isfinite(margin), pcorr_ops.MARGIN_BIG, margin)
+        return jax.lax.dynamic_update_slice(
+            margin_all, jnp.min(margin, axis=2), (r0, 0)
+        )
+
+    init = jnp.full((rows, vp), pcorr_ops.MARGIN_BIG, jnp.float32)
+    return jax.lax.fori_loop(0, rows // tile, tile_body, init)
+
+
+def make_hetcor1_sharded(mesh: Mesh, axis: str):
+    """Sharded hetcor level-1 margin sweep (`hetcor1_dense_margin`)."""
+    ndev = mesh_axis_size(mesh, axis)
+
+    def run(C_dev, N_dev, t_dev, Gb, th: float):
+        C = jnp.asarray(C_dev, dtype=jnp.float32)
+        v = C.shape[0]
+        Gm = jnp.asarray(Gb, dtype=bool)
+        N = jnp.asarray(N_dev, dtype=jnp.float32)
+        t = jnp.asarray(t_dev, dtype=jnp.int32)
+        tile = 8
+        pad = (-v) % (ndev * tile)
+        if pad:
+            C = jnp.pad(C, ((0, pad), (0, pad)))
+            Gm = jnp.pad(Gm, ((0, pad), (0, pad)))
+            N = jnp.pad(N, ((0, pad), (0, pad)), constant_values=10.0)
+            t = jnp.pad(t, (0, pad))
+        vp = v + pad
+
+        def local(C_full, N_full, t_full, G_rows):
+            x0 = jax.lax.axis_index(axis) * (vp // ndev)
+            return _hetcor1_rows(C_full, N_full, t_full, G_rows, jnp.float32(th),
+                                 x0, tile)
+
+        out = jax.jit(
+            _shard_map(
+                local, mesh,
+                in_specs=(P(None, None), P(None, None), P(None), P(axis, None)),
+                out_specs=P(axis, None),
+            )
+        )(C, N, t, Gm)
+        return np.asarray(out)[:v, :v]
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# correlation panel: marker-row-sharded contingency matmuls
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("n_chunks", "axis"))
+def _panel_sharded_body(bed_rows, bed_full, phen0, phenv, mean, std,
+                        n_chunks: int, axis: str):
+    """Per-device slab of the fused correlation panel.
+
+    bed_rows: (m/D, B) this shard's packed rows; bed_full: (m, B) replicated.
+    Output: replicated (m + p, m + p) panel (rows all-gathered over `axis`).
+    Matches `_panel_device` (`ops/corr.py`) exactly — the decode + matmul per
+    sample chunk happen on the row slab, so FLOPs and HBM writes scale 1/D.
+    """
+    ms, B = bed_rows.shape
+    m = bed_full.shape[0]
+    p = phen0.shape[0]
+    chunk_bytes = B // n_chunks
+    chunk = 4 * chunk_bytes
+
+    def step(carry, idx):
+        counts, s_mp, s_p, n_val = carry
+        rb = jax.lax.dynamic_slice(bed_rows, (0, idx * chunk_bytes), (ms, chunk_bytes))
+        cb = jax.lax.dynamic_slice(bed_full, (0, idx * chunk_bytes), (m, chunk_bytes))
+        codes = unpack_bed_codes(rb)
+        oh = geno_onehot(codes).reshape(3 * ms, -1)
+        oh_full = geno_onehot(unpack_bed_codes(cb)).reshape(3 * m, -1)
+        counts = counts + jnp.dot(oh, oh_full.T, preferred_element_type=jnp.float32)
+        vals, valid = geno_value_valid(codes)
+        ph0 = jax.lax.dynamic_slice(phen0, (0, idx * chunk), (p, chunk))
+        s_mp = s_mp + jnp.dot(
+            vals * valid, ph0.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        s_p = s_p + jnp.dot(
+            valid, ph0.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        phv = jax.lax.dynamic_slice(phenv, (0, idx * chunk), (p, chunk))
+        n_val = n_val + jnp.dot(
+            valid, phv.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return (counts, s_mp, s_p, n_val), None
+
+    init = (
+        jnp.zeros((3 * ms, 3 * m), jnp.float32),
+        jnp.zeros((ms, p), jnp.float32),
+        jnp.zeros((ms, p), jnp.float32),
+        jnp.zeros((ms, p), jnp.float32),
+    )
+    (counts, s_mp, s_p, n_val), _ = jax.lax.scan(step, init, jnp.arange(n_chunks))
+    C_mm_rows = _kendall_from_counts(counts.reshape(ms, 3, m, 3).transpose(0, 2, 1, 3))
+    shard = jax.lax.axis_index(axis)
+    mean_rows = jax.lax.dynamic_slice(mean, (shard * ms,), (ms,))
+    std_rows = jax.lax.dynamic_slice(std, (shard * ms,), (ms,))
+    C_mp_rows = (s_mp - mean_rows[:, None] * s_p) / (n_val * std_rows[:, None])
+    C_rows = jnp.concatenate([C_mm_rows, C_mp_rows], axis=1)  # (ms, m + p)
+
+    # all-gather the marker rows; trait rows are computed replicated
+    C_markers = jax.lax.all_gather(C_rows, axis, tiled=True)  # (m, m + p)
+    s_pp = jnp.dot(phen0, phen0.T, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    n_pp = jnp.dot(phenv, phenv.T, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    C_pp = s_pp / n_pp
+    C_traits = jnp.concatenate([C_markers[:, m:].T, C_pp], axis=1)  # (p, m+p)
+    C = jnp.concatenate([C_markers, C_traits], axis=0)
+    return jnp.where(jnp.eye(m + p, dtype=bool), jnp.float32(1.0), C)
+
+
+def make_panel_sharded(mesh: Mesh, axis: str):
+    """Sharded `corr_panel_device`: returns (C_dev replicated, v)."""
+    from cigwas_tpu.constants import PANEL_ALIGN
+    from cigwas_tpu.ops.corr import _pad_rows, _prep_bytes, _reorder_mask_panel
+    from cigwas_tpu.ops.corr import DEFAULT_SAMPLE_CHUNK
+    from cigwas_tpu.ops.decode import PAD_BYTE
+
+    ndev = mesh_axis_size(mesh, axis)
+
+    def run(bed_bytes, phen, marker_mean, marker_std, num_samples,
+            sample_chunk: int = DEFAULT_SAMPLE_CHUNK):
+        bed_bytes = np.asarray(bed_bytes, dtype=np.uint8)
+        phen = np.asarray(phen, dtype=np.float32)
+        m = bed_bytes.shape[0]
+        p = phen.shape[0]
+        v = m + p
+        # pad markers so the panel hits the shape bucket, then extend so the
+        # marker-row count divides the mesh axis (the panel grows slightly
+        # past the bucket; extra rows are inert like the bucket pads)
+        m_pad = m + ((-v) % PANEL_ALIGN)
+        if m_pad % ndev:
+            m_pad += ndev - m_pad % ndev
+        if m_pad != m:
+            bed_bytes = _pad_rows(bed_bytes, m_pad, PAD_BYTE)
+            marker_mean = _pad_rows(
+                np.asarray(marker_mean, dtype=np.float32), m_pad, 1.0
+            )
+            marker_std = _pad_rows(np.asarray(marker_std, dtype=np.float32), m_pad, 1.0)
+        sample_chunk = min(sample_chunk, 4 * ((bed_bytes.shape[1] + 31) // 32) * 32 * 4)
+        padded, n_chunks = _prep_bytes(bed_bytes, num_samples, sample_chunk)
+        n_padded = padded.shape[1] * 4
+        phen0 = np.zeros((p, n_padded), dtype=np.float32)
+        phenv = np.zeros((p, n_padded), dtype=np.float32)
+        phen0[:, : phen.shape[1]] = np.nan_to_num(phen)
+        phenv[:, : phen.shape[1]] = np.isfinite(phen).astype(np.float32)
+
+        fn = jax.jit(
+            _shard_map(
+                partial(_panel_sharded_body, n_chunks=n_chunks, axis=axis),
+                mesh,
+                in_specs=(P(axis, None), P(None, None), P(None, None),
+                          P(None, None), P(None), P(None)),
+                out_specs=P(None, None),
+            )
+        )
+        C_raw = fn(
+            jnp.asarray(padded),
+            jnp.asarray(padded),
+            jnp.asarray(phen0),
+            jnp.asarray(phenv),
+            jnp.asarray(np.asarray(marker_mean, dtype=np.float32)),
+            jnp.asarray(np.asarray(marker_std, dtype=np.float32)),
+        )
+        if m_pad == m:
+            return C_raw, v
+        idx = np.concatenate(
+            [np.arange(m), np.arange(m_pad, m_pad + p), np.arange(m, m_pad)]
+        ).astype(np.int32)
+        return _reorder_mask_panel(C_raw, jnp.asarray(idx), jnp.int32(v)), v
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# engine handle
+# ---------------------------------------------------------------------------
+
+
+class ShardedEngine:
+    """Bundle of mesh-sharded kernel variants consumed by `skeleton()` /
+    `hetcor_skeleton` / `pipelines.cusk` when a mesh is supplied."""
+
+    def __init__(self, mesh: Mesh, axis: str = "marker"):
+        if axis not in mesh.axis_names:
+            raise ValueError(f"mesh has no axis {axis!r}: {mesh.axis_names}")
+        self.mesh = mesh
+        self.axis = axis
+        self.ndev = mesh_axis_size(mesh, axis)
+        self.level_scan_minrho = make_level_scan_sharded(mesh, axis)
+        self.level_scan_hetcor = make_level_scan_hetcor_sharded(mesh, axis)
+        self.level1_dense_minrho = make_level1_sharded(mesh, axis)
+        self.hetcor1_dense_margin = make_hetcor1_sharded(mesh, axis)
+        self.corr_panel_device = make_panel_sharded(mesh, axis)
+
+    @classmethod
+    def flat(cls, devices=None, axis: str = "marker") -> "ShardedEngine":
+        """1-D mesh over all (or the given) devices."""
+        if devices is None:
+            devices = jax.devices()
+        return cls(Mesh(np.array(devices), (axis,)), axis)

@@ -83,11 +83,16 @@ def cusk(
     outdir: str,
     block_index: int,
     verbose: bool = True,
+    mesh=None,
 ):
     """Two-stage skeleton for a single LD block (`cusk`, `cli.cpp:432-678`).
 
     Returns the written ReducedGCS, or None if the block was skipped because
     no marker–phenotype correlation is significant (`cli.cpp:561-576`).
+
+    mesh: a `jax.sharding.Mesh` runs the correlation panel and every level
+    kernel SPMD over its devices (see `cigwas_tpu.parallel.sharded`); block
+    outputs are byte-identical to the single-device path.
     """
     ctx = CuskContext(
         phen_path,
@@ -99,6 +104,7 @@ def cusk(
         depth,
         outdir,
         verbose=verbose,
+        mesh=mesh,
     )
     return ctx.finish(ctx.prepare(block_index))
 
@@ -132,6 +138,7 @@ class CuskContext:
         depth: int,
         outdir: str,
         verbose: bool = True,
+        mesh=None,
     ):
         check_prepped_bed_path(bed_base_path)
         check_path(phen_path)
@@ -149,6 +156,12 @@ class CuskContext:
         self.depth = depth
         self.outdir = outdir
         self.verbose = verbose
+        self.engine = None
+        if mesh is not None:
+            from cigwas_tpu.parallel.sharded import ShardedEngine
+
+            axis = "marker" if "marker" in mesh.axis_names else mesh.axis_names[0]
+            self.engine = ShardedEngine(mesh, axis)
 
         self.blocks = read_blocks_from_file(block_path)
         for b in self.blocks:
@@ -237,7 +250,18 @@ class CuskContext:
         phen = self.phen
         outdir = self.outdir
         num_var = num_markers + num_phen
-        if num_markers <= 4096:
+        engine = self.engine
+        if engine is not None:
+            # sharded panel (marker rows over the mesh) + sharded skeleton
+            C_dev, v_panel = engine.corr_panel_device(
+                bedblock, phen.data, means, stds, num_individuals
+            )
+            sq_corrs = np.asarray(C_dev)[:v_panel, :v_panel]
+            res1 = skeleton(
+                sq_corrs, Th, max_level, verbose=verbose, C_dev=C_dev,
+                engine=engine,
+            )
+        elif num_markers <= 4096:
             # fused device panel: decode once, keep C on device for the
             # skeleton
             C_dev, v_panel = corr_panel_device(
@@ -259,7 +283,7 @@ class CuskContext:
         # from the reduced correlations (its level 0 rebuilds the adjacency)
         if verbose:
             print("Starting second cusk stage")
-        res2 = skeleton(gcs.C, Th, max_level_two, verbose=verbose)
+        res2 = skeleton(gcs.C, Th, max_level_two, verbose=verbose, engine=engine)
         keep2 = subset_variables(res2.G, gcs.num_var, gcs.num_markers(), depth)
         gcs2 = reduce_gcs(
             res2.G,

@@ -91,6 +91,17 @@ def _compact_neighbors(G: np.ndarray, nodes: np.ndarray, d_max: int):
     return nbrs, deg
 
 
+def _run_level_dense1_engine(C_dev, Gb: np.ndarray, rho_threshold: float, engine):
+    """Level 1 via the mesh-sharded dense sweep (same tests/tie-breaking as
+    `_run_level_dense1`; x-row slabs are sharded over the engine's mesh)."""
+    rho_min, s_min = engine.level1_dense_minrho(C_dev, Gb.astype(bool))
+    rho_min = np.asarray(rho_min)
+    s_min = np.asarray(s_min)
+    side = (rho_min < rho_threshold) & Gb.astype(bool)
+    xs, ys = np.nonzero(side)
+    return side | side.T, (xs, ys, s_min[xs, ys], rho_min[xs, ys])
+
+
 def _run_level_dense1(C_dev, Gb: np.ndarray, rho_threshold: float):
     """Level 1 as one dense masked dispatch (no per-bucket round trips).
 
@@ -117,6 +128,7 @@ def _run_level(
     chunk: int,
     hetcor_args=None,
     verbose: bool = False,
+    engine=None,
 ):
     """All level-l tests; returns (removed, rho_min_full, rank_full).
 
@@ -174,6 +186,14 @@ def _run_level(
             if node_tile > 8:  # floor to a power of two to bound shapes
                 node_tile = 1 << (node_tile.bit_length() - 1)
             node_tile = min(node_tile, _next_pow2(len(nodes)))
+            if engine is not None:
+                # node tiles are sharded over the mesh axis: the tile length
+                # must divide evenly (shards pad with repeats of the last
+                # node, whose duplicate results are min-merged idempotently)
+                nd = engine.ndev
+                node_tile = max(node_tile, nd)
+                if node_tile % nd:
+                    node_tile = -(-node_tile // nd) * nd
 
             max_left = max(total_combos[x] - offset for x in remaining)
             n_chunks = min(
@@ -205,8 +225,16 @@ def _run_level(
                 left_seq = np.clip(totals[None, :] - bases, 0, chunk).astype(np.int32)
                 if pad:
                     left_seq[:, -pad:] = 0
+                scan_minrho = (
+                    engine.level_scan_minrho if engine is not None
+                    else pcorr_ops.level_scan_minrho
+                )
+                scan_hetcor = (
+                    engine.level_scan_hetcor if engine is not None
+                    else pcorr_ops.level_scan_hetcor
+                )
                 if hetcor_args is None:
-                    rho_dev, rank_dev = pcorr_ops.level_scan_minrho(
+                    rho_dev, rank_dev = scan_minrho(
                         C_dev,
                         jnp.asarray(tile_p),
                         jnp.asarray(nbrs),
@@ -217,7 +245,7 @@ def _run_level(
                     )
                 else:
                     N_dev, t_dev, th = hetcor_args
-                    rho_dev = pcorr_ops.level_scan_hetcor(
+                    rho_dev = scan_hetcor(
                         C_dev,
                         N_dev,
                         t_dev,
@@ -290,6 +318,7 @@ def skeleton(
     verbose: bool = False,
     C_dev=None,
     n_var: int | None = None,
+    engine=None,
 ) -> SkeletonResult:
     """PC-stable skeleton over a dense correlation panel.
 
@@ -300,6 +329,10 @@ def skeleton(
     C may be a jax device array (e.g. from
     :func:`cigwas_tpu.ops.corr.corr_panel_device`), in which case it is
     reused in place instead of being re-uploaded.
+
+    engine: a :class:`cigwas_tpu.parallel.sharded.ShardedEngine` runs every
+    level kernel SPMD over its mesh (node tiles / row slabs sharded, panel
+    replicated); results are byte-identical to the single-device path.
     """
     if C_dev is None and isinstance(C, jax.Array):
         C_dev = C
@@ -309,7 +342,16 @@ def skeleton(
     # logical size is n_var.
     v_real = n_var if n_var is not None else C.shape[0]
     pad = C.shape[0] - v_real
-    if pad == 0:
+    if pad == 0 and C_dev is not None and C_dev.shape[0] > v_real:
+        # adopt the device panel's own (inert) padding, whatever its size
+        # (sharded panels align marker rows to the mesh as well as the
+        # shape bucket)
+        pad = C_dev.shape[0] - v_real
+        if isinstance(C, jax.Array):
+            C = C_dev
+        else:
+            C = np.pad(np.asarray(C, dtype=np.float32), ((0, pad), (0, pad)))
+    elif pad == 0:
         pad = (-v_real) % PANEL_ALIGN
         if pad:
             if C_dev is not None and C_dev.shape[0] == v_real:
@@ -320,7 +362,7 @@ def skeleton(
                 C = np.pad(np.asarray(C, dtype=np.float32), ((0, pad), (0, pad)))
     th = np.asarray(thresholds, dtype=np.float32)
     pre_l1 = None
-    if C_dev is not None:
+    if C_dev is not None and engine is None:
         # device-first flow: level-0 decisions on device, and the dense
         # level-1 sweep is dispatched BEFORE the big C fetch so the
         # transfer overlaps the kernel. Decisions (G) always come from the
@@ -330,6 +372,12 @@ def skeleton(
             pre_l1 = pcorr_ops.level1_dense_dispatch(
                 C_dev, G0_dev, float(np.tanh(float(th[1])))
             )
+        C = np.asarray(C, dtype=np.float32)
+        G = np.asarray(G0_dev)
+    elif C_dev is not None:
+        # sharded flow: level 0 on the replicated panel, level 1 sharded in
+        # the level loop below
+        G0_dev = pcorr_ops.level0_screen(C_dev, jnp.float32(th[0]))
         C = np.asarray(C, dtype=np.float32)
         G = np.asarray(G0_dev)
     else:
@@ -363,7 +411,11 @@ def skeleton(
             print(f"[skeleton] level {l}: max degree {nprime}")
         rho_th = float(np.tanh(float(th[l])))
         if l == 1:
-            if pre_l1 is not None:
+            if engine is not None:
+                removed, (xs, ys, s_sel, rho_sel) = _run_level_dense1_engine(
+                    C_dev, G, rho_th, engine
+                )
+            elif pre_l1 is not None:
                 side, xs, ys, s_sel, rho_sel = pcorr_ops.level1_dense_collect(pre_l1)
                 removed = side | side.T
             else:
@@ -373,7 +425,8 @@ def skeleton(
             pmax[xs, ys] = fisher_z(rho_sel)
         else:
             removed, rho_min, rank = _run_level(
-                C_dev, G.astype(np.int32), l, rho_th, chunk, verbose=verbose
+                C_dev, G.astype(np.int32), l, rho_th, chunk, verbose=verbose,
+                engine=engine,
             )
             # record sepsets & pmax for ordered pairs whose own side passed
             side = (rho_min < rho_th) & G
@@ -418,6 +471,7 @@ def hetcor_skeleton(
     chunk: int = DEFAULT_CHUNK,
     verbose: bool = False,
     ess_mode: str = "reference",
+    engine=None,
 ) -> SkeletonResult:
     """Skeleton with per-pair effective sample sizes and time constraints.
 
@@ -489,9 +543,11 @@ def hetcor_skeleton(
         if l == 1:
             # dense masked sweep, one dispatch (same tests as the
             # neighbour-list enumeration; see hetcor1_dense_margin)
-            margin = pcorr_ops.hetcor1_dense_margin(
-                C_dev, N_dev, t_dev, G, float(threshold)
+            dense1 = (
+                engine.hetcor1_dense_margin if engine is not None
+                else pcorr_ops.hetcor1_dense_margin
             )
+            margin = dense1(C_dev, N_dev, t_dev, G, float(threshold))
             cond = (margin < 0) & G
             removed = cond | cond.T
         else:
@@ -503,6 +559,7 @@ def hetcor_skeleton(
                 chunk,
                 hetcor_args=(N_dev, t_dev, float(threshold)),
                 verbose=verbose,
+                engine=engine,
             )
         G = G & ~removed
         final_level = l
