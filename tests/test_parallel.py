@@ -160,3 +160,76 @@ def test_partition_blocks_lpt_near_optimal_balance():
     # and nothing lost or duplicated
     seen = sorted(b.to_file_string() for p in parts for b in p)
     assert seen == sorted(b.to_file_string() for b in mixed)
+
+
+def test_multi_partition_run_matches_single_partition(tmp_path):
+    """`run_all_blocks` split over 2 and 3 partitions must produce merged
+    outputs byte-identical to the 1-partition run (VERDICT r1 item 3: the
+    reference's distribute-then-merge workflow, `merge_blocks.py:361-395`)."""
+    import hashlib
+    import os
+
+    from cigwas_tpu.cli import main as cli_main
+    from cigwas_tpu.constants import BED_PREFIX_COL_MAJ
+    from cigwas_tpu.io.bed import encode_bed_values
+    from cigwas_tpu.merge.merge_blocks import merge_block_outputs
+    from cigwas_tpu.parallel import run_all_blocks
+
+    rng = np.random.default_rng(17)
+    n, m = 2500, 96
+    maf = rng.uniform(0.1, 0.5, m)
+    G = (rng.random((m, n)) < maf[:, None]).astype(np.float32) + (
+        rng.random((m, n)) < maf[:, None]
+    )
+
+    def std(v):
+        return (v - v.mean()) / v.std()
+
+    y0 = sum(0.4 * std(G[i]) for i in (5, 40, 70)) + rng.normal(size=n)
+    y1 = 0.4 * std(G[20]) + 0.5 * y0 + rng.normal(size=n)
+    Y = np.stack([y0, y1])
+    Y = (Y - Y.mean(1, keepdims=True)) / Y.std(1, keepdims=True)
+
+    stem = str(tmp_path / "sim")
+    with open(stem + ".bed", "wb") as f:
+        f.write(BED_PREFIX_COL_MAJ)
+        f.write(encode_bed_values(G).tobytes())
+    with open(stem + ".bim", "w") as f:
+        for i in range(m):
+            f.write(f"1\trs{i}\t0\t{1000 * i}\tA\tG\n")
+    with open(stem + ".fam", "w") as f:
+        for i in range(n):
+            f.write(f"F{i} I{i} 0 0 0 -9\n")
+    with open(stem + ".phen", "w") as f:
+        f.write("FID\tIID\tT0\tT1\n")
+        for i in range(n):
+            f.write(f"F{i}\tI{i}\t" + "\t".join(f"{v:.6f}" for v in Y[:, i]) + "\n")
+    cli_main(["prep-bed", stem])
+    cli_main(["block", stem, "32", "10", "16"])
+    blockfile = stem + "_m32.blocks"
+    n_blocks = sum(1 for _ in open(blockfile))
+    assert n_blocks >= 3
+
+    def run_and_merge(tag, num_partitions):
+        outdir = tmp_path / f"out_{tag}"
+        outdir.mkdir()
+        covered = []
+        for pi in range(num_partitions):
+            res = run_all_blocks(
+                stem + ".phen", stem, blockfile, 0.001, 3, 14, 1, str(outdir),
+                num_partitions=num_partitions, partition_index=pi, verbose=False,
+            )
+            covered.extend(res.keys())
+        assert sorted(covered) == sorted(set(covered))  # disjoint cover
+        assert len(covered) == n_blocks
+        mstem = str(outdir / "merged_blocks")
+        merge_block_outputs(blockfile, str(outdir)).write_mm(mstem)
+        return {
+            s: hashlib.md5(open(mstem + s, "rb").read()).hexdigest()
+            for s in ("_sam.mtx", "_scm.mtx", ".mdim", ".ixs")
+        }
+
+    ref = run_and_merge("p1", 1)
+    for nparts in (2, 3):
+        got = run_and_merge(f"p{nparts}", nparts)
+        assert got == ref, f"{nparts}-partition merge differs from 1-partition"
