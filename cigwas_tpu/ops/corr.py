@@ -26,7 +26,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cigwas_tpu.ops.decode import PAD_BYTE, geno_onehot, geno_value_valid, unpack_bed_codes
+from cigwas_tpu.ops.decode import (
+    PAD_BYTE,
+    contingency_counts,
+    geno_onehot,
+    geno_value_valid,
+    unpack_bed_codes,
+)
 
 # default number of samples processed per scan step (bytes chunk = this / 4)
 DEFAULT_SAMPLE_CHUNK = 131072
@@ -116,7 +122,7 @@ def _kendall_counts_block(rows_bytes, cols_bytes, n_chunks: int):
 
     rows_bytes: (mr, B), cols_bytes: (mc, B) -> counts (mr, mc, 3, 3) f32.
     Scans over sample chunks; each step decodes on the fly and issues one
-    (3*mr, nc) x (nc, 3*mc) MXU matmul.
+    (3*mr, nc) x (nc, 3*mc) int8 MXU matmul (exact int32 accumulation).
     """
     mr, B = rows_bytes.shape
     mc = cols_bytes.shape[0]
@@ -127,13 +133,13 @@ def _kendall_counts_block(rows_bytes, cols_bytes, n_chunks: int):
         cb = jax.lax.dynamic_slice(cols_bytes, (0, idx * chunk_bytes), (mc, chunk_bytes))
         ra = geno_onehot(unpack_bed_codes(rb)).reshape(3 * mr, -1)
         ca = geno_onehot(unpack_bed_codes(cb)).reshape(3 * mc, -1)
-        acc = acc + jnp.dot(ra, ca.T, preferred_element_type=jnp.float32)
+        acc = acc + contingency_counts(ra, ca)
         return acc, None
 
     counts, _ = jax.lax.scan(
-        step, jnp.zeros((3 * mr, 3 * mc), jnp.float32), jnp.arange(n_chunks)
+        step, jnp.zeros((3 * mr, 3 * mc), jnp.int32), jnp.arange(n_chunks)
     )
-    return counts.reshape(mr, 3, mc, 3).transpose(0, 2, 1, 3)
+    return counts.astype(jnp.float32).reshape(mr, 3, mc, 3).transpose(0, 2, 1, 3)
 
 
 def kendall_npn_corr(
@@ -346,7 +352,7 @@ def _panel_device(bed_bytes, phen0, phenv, mean, std, n_chunks: int):
         rb = jax.lax.dynamic_slice(bed_bytes, (0, idx * chunk_bytes), (m, chunk_bytes))
         codes = unpack_bed_codes(rb)
         oh = geno_onehot(codes).reshape(3 * m, -1)
-        counts = counts + jnp.dot(oh, oh.T, preferred_element_type=jnp.float32)
+        counts = counts + contingency_counts(oh, oh)
         vals, valid = geno_value_valid(codes)
         ph0 = jax.lax.dynamic_slice(phen0, (0, idx * chunk), (p, chunk))
         s_mp = s_mp + jnp.dot(
@@ -365,13 +371,15 @@ def _panel_device(bed_bytes, phen0, phenv, mean, std, n_chunks: int):
         return (counts, s_mp, s_p, n_val), None
 
     init = (
-        jnp.zeros((3 * m, 3 * m), jnp.float32),
+        jnp.zeros((3 * m, 3 * m), jnp.int32),
         jnp.zeros((m, p), jnp.float32),
         jnp.zeros((m, p), jnp.float32),
         jnp.zeros((m, p), jnp.float32),
     )
     (counts, s_mp, s_p, n_val), _ = jax.lax.scan(step, init, jnp.arange(n_chunks))
-    C_mm = _kendall_from_counts(counts.reshape(m, 3, m, 3).transpose(0, 2, 1, 3))
+    C_mm = _kendall_from_counts(
+        counts.astype(jnp.float32).reshape(m, 3, m, 3).transpose(0, 2, 1, 3)
+    )
     C_mp = (s_mp - mean[:, None] * s_p) / (n_val * std[:, None])
     s_pp = jnp.dot(
         phen0, phen0.T, preferred_element_type=jnp.float32,

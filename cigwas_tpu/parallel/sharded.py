@@ -39,7 +39,12 @@ except ImportError:  # pragma: no cover
 
 from cigwas_tpu.ops import pcorr as pcorr_ops
 from cigwas_tpu.ops.corr import _kendall_from_counts
-from cigwas_tpu.ops.decode import geno_onehot, geno_value_valid, unpack_bed_codes
+from cigwas_tpu.ops.decode import (
+    contingency_counts,
+    geno_onehot,
+    geno_value_valid,
+    unpack_bed_codes,
+)
 
 
 def mesh_axis_size(mesh: Mesh, axis: str) -> int:
@@ -335,7 +340,7 @@ def _panel_sharded_body(bed_rows, bed_full, phen0, phenv, mean, std,
         codes = unpack_bed_codes(rb)
         oh = geno_onehot(codes).reshape(3 * ms, -1)
         oh_full = geno_onehot(unpack_bed_codes(cb)).reshape(3 * m, -1)
-        counts = counts + jnp.dot(oh, oh_full.T, preferred_element_type=jnp.float32)
+        counts = counts + contingency_counts(oh, oh_full)
         vals, valid = geno_value_valid(codes)
         ph0 = jax.lax.dynamic_slice(phen0, (0, idx * chunk), (p, chunk))
         s_mp = s_mp + jnp.dot(
@@ -354,13 +359,15 @@ def _panel_sharded_body(bed_rows, bed_full, phen0, phenv, mean, std,
         return (counts, s_mp, s_p, n_val), None
 
     init = (
-        jnp.zeros((3 * ms, 3 * m), jnp.float32),
+        jnp.zeros((3 * ms, 3 * m), jnp.int32),
         jnp.zeros((ms, p), jnp.float32),
         jnp.zeros((ms, p), jnp.float32),
         jnp.zeros((ms, p), jnp.float32),
     )
     (counts, s_mp, s_p, n_val), _ = jax.lax.scan(step, init, jnp.arange(n_chunks))
-    C_mm_rows = _kendall_from_counts(counts.reshape(ms, 3, m, 3).transpose(0, 2, 1, 3))
+    C_mm_rows = _kendall_from_counts(
+        counts.astype(jnp.float32).reshape(ms, 3, m, 3).transpose(0, 2, 1, 3)
+    )
     shard = jax.lax.axis_index(axis)
     mean_rows = jax.lax.dynamic_slice(mean, (shard * ms,), (ms,))
     std_rows = jax.lax.dynamic_slice(std, (shard * ms,), (ms,))

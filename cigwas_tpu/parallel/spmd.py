@@ -32,7 +32,7 @@ from cigwas_tpu.ops.corr import _kendall_from_counts
 from cigwas_tpu.ops.decode import geno_onehot, geno_value_valid
 
 
-def _onehot(codes: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+def _onehot(codes: jnp.ndarray, dtype=jnp.int8) -> jnp.ndarray:
     """(m, n) 2-bit codes -> (3m, n) one-hot with missing folded to zero."""
     return geno_onehot(codes, dtype=dtype).reshape(3 * codes.shape[0], -1)
 
@@ -57,12 +57,12 @@ def build_multichip_cusk_step(mesh: Mesh, th0: float, th1: float):
             # tensor-parallel panel: gather the full marker axis
             X_all = jax.lax.all_gather(X_loc, "marker", tiled=True)  # (3m, ns)
             counts = jax.lax.psum(
-                jnp.dot(X_loc, X_all.T, preferred_element_type=jnp.float32),
+                jnp.dot(X_loc, X_all.T, preferred_element_type=jnp.int32),
                 "sample",
-            )  # (3ms, 3m)
+            )  # (3ms, 3m) exact int32 counts from the int8 MXU path
             m = X_all.shape[0] // 3
             C_mm = _kendall_from_counts(
-                counts.reshape(ms, 3, m, 3).transpose(0, 2, 1, 3)
+                counts.astype(jnp.float32).reshape(ms, 3, m, 3).transpose(0, 2, 1, 3)
             )  # (ms, m)
 
             # marker-phen pearson on standardized traits (sample psum);

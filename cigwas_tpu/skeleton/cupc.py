@@ -28,6 +28,7 @@ shared NoEdgeFlag early exit).
 from __future__ import annotations
 
 import math
+import time
 from dataclasses import dataclass
 
 import jax
@@ -133,11 +134,17 @@ def _run_level(
     hetcor_args=None,
     verbose: bool = False,
     engine=None,
+    stats: dict | None = None,
 ):
     """All level-l tests; returns (removed, rho_min_full, rank_full).
 
     rho_threshold: tanh(Th[l]) for the plain skeleton; None for hetcor
     (where the kernel returns margins and removal is margin < 0).
+
+    stats, if given, accumulates ``ci_tests`` — the exact number of
+    (x, S, y) partial-correlation evaluations enumerated on device
+    (each conditioning set S of node x is tested against all deg(x)
+    neighbours y in one kernel row).
     """
     n = G.shape[0]
     Gb = G.astype(bool)
@@ -225,6 +232,11 @@ def _run_level(
                     ],
                     dtype=np.int64,
                 )
+                if stats is not None:
+                    live = totals[: len(tile)].clip(min=0)
+                    stats["ci_tests"] = stats.get("ci_tests", 0) + int(
+                        (live * deg[: len(tile)].astype(np.int64)).sum()
+                    )
                 bases = chunk * np.arange(n_chunks, dtype=np.int64)[:, None]
                 left_seq = np.clip(totals[None, :] - bases, 0, chunk).astype(np.int32)
                 if pad:
@@ -323,12 +335,18 @@ def skeleton(
     C_dev=None,
     n_var: int | None = None,
     engine=None,
+    stats: dict | None = None,
 ) -> SkeletonResult:
     """PC-stable skeleton over a dense correlation panel.
 
     Equivalent of `Skeleton` (`cuPC-S.cu:61-450`). Note the reference's
     level-0 kernel *overwrites* the adjacency from the correlations
     (`cal_Indepl0`, `cuPC-S.cu:458-484`), so no initial G is accepted here.
+
+    stats, if given, collects instrumentation equivalent to the reference's
+    per-level cudaEvent prints (`cuPC-S.cu:80-83,130-134`):
+    ``level_wall_s`` maps level -> seconds, ``ci_tests`` counts the exact
+    (x, S, y) evaluations enumerated by levels >= 2.
 
     C may be a jax device array (e.g. from
     :func:`cigwas_tpu.ops.corr.corr_panel_device`), in which case it is
@@ -413,6 +431,7 @@ def skeleton(
             break
         if verbose:
             print(f"[skeleton] level {l}: max degree {nprime}")
+        t_level = time.perf_counter() if stats is not None else 0.0
         rho_th = float(np.tanh(float(th[l])))
         if l == 1:
             if engine is not None:
@@ -430,7 +449,7 @@ def skeleton(
         else:
             removed, rho_min, rank = _run_level(
                 C_dev, G.astype(np.int32), l, rho_th, chunk, verbose=verbose,
-                engine=engine,
+                engine=engine, stats=stats,
             )
             # record sepsets & pmax for ordered pairs whose own side passed
             side = (rho_min < rho_th) & G
@@ -445,6 +464,10 @@ def skeleton(
                         prev_x = x
                     sepset[x, y, :l] = nbr_x[colex_unrank(int(rank[x, y]), l)]
         G = G & ~removed
+        if stats is not None:
+            stats.setdefault("level_wall_s", {})[l] = (
+                time.perf_counter() - t_level
+            )
         final_level = l
     else:
         final_level = min(ML, max_level)
