@@ -42,6 +42,13 @@ from cigwas_tpu.utils.stats import fisher_z
 
 # combos per chunk (static kernel shape)
 DEFAULT_CHUNK = 512
+# largest panel for which level 1 runs as the dense v^3 masked sweep (one
+# dispatch, latency-optimal for LD-block sizes); above this the v^3 work
+# dwarfs the ~sum(deg^2) neighbour-list enumeration, so level 1 goes through
+# the same degree-bucketed path as levels >= 2 (identical tests and
+# tie-breaking: the dense argmin and the lowest colex rank both prefer the
+# smallest conditioning index)
+DENSE_L1_MAX = 5000
 # max chunks fused into one device dispatch
 MAX_CHUNKS_PER_LAUNCH = 256
 # cap on (nodes x combos x neighbours x l) elements live per kernel call
@@ -390,7 +397,7 @@ def skeleton(
         # transfer overlaps the kernel. Decisions (G) always come from the
         # device so later levels see a consistent graph.
         G0_dev = pcorr_ops.level0_screen(C_dev, jnp.float32(th[0]))
-        if min(ML, max_level) >= 1:
+        if min(ML, max_level) >= 1 and C_dev.shape[0] <= DENSE_L1_MAX:
             pre_l1 = pcorr_ops.level1_dense_dispatch(
                 C_dev, G0_dev, float(np.tanh(float(th[1])))
             )
@@ -433,7 +440,7 @@ def skeleton(
             print(f"[skeleton] level {l}: max degree {nprime}")
         t_level = time.perf_counter() if stats is not None else 0.0
         rho_th = float(np.tanh(float(th[l])))
-        if l == 1:
+        if l == 1 and (pre_l1 is not None or n <= DENSE_L1_MAX):
             if engine is not None:
                 removed, (xs, ys, s_sel, rho_sel) = _run_level_dense1_engine(
                     C_dev, G, rho_th, engine
@@ -567,7 +574,7 @@ def hetcor_skeleton(
             break
         if verbose:
             print(f"[hetcor_skeleton] level {l}: max degree {nprime}")
-        if l == 1:
+        if l == 1 and n <= DENSE_L1_MAX:
             # dense masked sweep, one dispatch (same tests as the
             # neighbour-list enumeration; see hetcor1_dense_margin)
             dense1 = (

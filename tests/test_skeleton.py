@@ -270,3 +270,32 @@ class TestHetcorEssMode:
         res_float = hetcor_skeleton(C, G.copy(), N, th, 14, ess_mode="float")
         assert res_ref.G[0, 1] == 0
         assert res_float.G[0, 1] == 1
+
+
+def test_level1_list_path_matches_dense_path(n10_fixture, monkeypatch):
+    """Panels above DENSE_L1_MAX run level 1 through the degree-bucketed
+    neighbour-list engine instead of the dense v^3 sweep; results must be
+    identical (same tests, same smallest-index tie-breaking)."""
+    import cigwas_tpu.skeleton.cupc as cupc
+
+    C, A, alpha, n = n10_fixture
+    th = threshold_array(n, alpha)
+    dense = skeleton(C, th, 3)
+    monkeypatch.setattr(cupc, "DENSE_L1_MAX", 0)
+    listp = cupc.skeleton(C, th, 3)
+    np.testing.assert_array_equal(dense.G, listp.G)
+    np.testing.assert_array_equal(dense.sepset, listp.sepset)
+    np.testing.assert_array_equal(dense.pmax, listp.pmax)
+
+
+def test_hetcor_level1_list_path_matches_dense(n10_fixture, monkeypatch):
+    import cigwas_tpu.skeleton.cupc as cupc
+
+    C, A, alpha, n = n10_fixture
+    v = C.shape[0]
+    N = np.full((v, v), float(n), dtype=np.float32)
+    th0 = float(threshold_array(n, alpha)[0])
+    dense = hetcor_skeleton(C, np.ones((v, v), np.int32), N, th0, 3)
+    monkeypatch.setattr(cupc, "DENSE_L1_MAX", 0)
+    listp = cupc.hetcor_skeleton(C, np.ones((v, v), np.int32), N, th0, 3)
+    np.testing.assert_array_equal(dense.G, listp.G)
