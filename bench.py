@@ -55,6 +55,7 @@ def _build_step(m, p, th0, th1):
         geno_value_valid,
         unpack_bed_codes,
     )
+    from cigwas_tpu.ops.pcorr import _level1_dense_padded
 
     def step(bed_bytes, phen):
         codes = unpack_bed_codes(bed_bytes)
@@ -80,30 +81,16 @@ def _build_step(m, p, th0, th1):
         C = jnp.where(jnp.eye(v, dtype=bool), 1.0, C)
         z0 = jnp.abs(0.5 * jnp.log(jnp.abs((1 + C) / (1 - C))))
         G0 = (z0 >= th0) & ~jnp.eye(v, dtype=bool)
-        # dense level-1 sweep; |atanh(rho)| < th  <=>  |rho| < tanh(th) so
-        # the inner loop is transcendental-free
+        # dense level-1 sweep via the PRODUCTION tiled kernel
+        # (`pcorr._level1_dense_padded`); |atanh(rho)| < th <=> |rho| <
+        # tanh(th), so the inner loop is transcendental-free. Pad the panel
+        # to the tile; pad conditioning columns are masked through G.
         rho_th1 = jnp.tanh(jnp.float32(th1))
-        TILE = 128
-
-        def tile_body(t, G):
-            rows = jax.lax.dynamic_slice(C, (t * TILE, 0), (TILE, v))
-            cxs = rows[:, None, :]
-            cys = C[None, :, :]
-            rho = jnp.abs(rows[:, :, None] - cxs * cys) * jax.lax.rsqrt(
-                jnp.abs((1 - cxs**2) * (1 - cys**2))
-            )
-            s_ix = jnp.arange(v)
-            x_ix = t * TILE + jnp.arange(TILE)
-            mask = (s_ix[None, None, :] == x_ix[:, None, None]) | (
-                s_ix[None, None, :] == s_ix[None, :, None]
-            )
-            rho = jnp.where(mask | ~jnp.isfinite(rho), jnp.float32(2.0), rho)
-            keep = jnp.min(rho, axis=2) >= rho_th1
-            return jax.lax.dynamic_update_slice(
-                G, jax.lax.dynamic_slice(G, (t * TILE, 0), (TILE, v)) & keep, (t * TILE, 0)
-            )
-
-        G = jax.lax.fori_loop(0, v // TILE, tile_body, G0)
+        pad = (-v) % 128
+        Cp = jnp.pad(C, ((0, pad), (0, pad)))
+        Gp = jnp.pad(G0, ((0, pad), (0, pad)))
+        rho_min, _ = _level1_dense_padded(Cp, Gp, 128)
+        G = G0 & (rho_min[:v, :v] >= rho_th1)
         return G.astype(jnp.int8)
 
     return step
@@ -154,12 +141,12 @@ def _phase_fused_step(result):
     floor = max(min(t1) - per_step, 0.0)
 
     v = M + P
-    swept_rows = (v // 128) * 128
-    ci_tests = v * v + swept_rows * v * v  # level-0 + dense level-1 sweep
+    ci_tests = v * v + v * v * v  # level-0 + dense level-1 sweep
     # dominant arithmetic: the (3m, n) x (n, 3m) contingency matmul (int8)
-    # plus the v^3 level-1 sweep (~7 f32 VPU ops/element)
+    # plus the padded v^3 level-1 sweep (~5 f32 VPU ops/element)
+    vp = v + ((-v) % 128)
     matmul_flops = 2.0 * (3 * M) ** 2 * N
-    sweep_flops = 7.0 * swept_rows * v * v
+    sweep_flops = 5.0 * vp * vp * vp
     step_flops = matmul_flops + sweep_flops
 
     result.update(
@@ -233,12 +220,13 @@ def _phase_partition_scaling(result):
     dose = (rng.random((m, n)) < maf[:, None]).astype(np.float32) + (
         rng.random((m, n)) < maf[:, None]
     )
-    causal = [m // 60, m // 8, m // 3]
-    y0 = sum(
-        0.3 * (dose[i] - dose[i].mean()) / dose[i].std() for i in causal
-    ) + rng.normal(size=n)
-    k = m // 15
-    y1 = 0.4 * (dose[k] - dose[k].mean()) / dose[k].std() + 0.5 * y0
+    # polygenic traits: causal markers spread over every block, as in real
+    # genome-wide data — all blocks pass the marker-phen pre-screen and the
+    # partition balance is exercised on real skeleton work
+    causal = np.arange(m // 64 // 2, m, m // 64)
+    stdd = (dose - dose.mean(1, keepdims=True)) / dose.std(1, keepdims=True)
+    y0 = stdd[causal[0::2]].sum(axis=0) * 0.25 + rng.normal(size=n)
+    y1 = stdd[causal[1::2]].sum(axis=0) * 0.25 + 0.5 * y0
     Y = np.stack([y0, y1 + rng.normal(size=n)])
     Y = (Y - Y.mean(1, keepdims=True)) / Y.std(1, keepdims=True)
 

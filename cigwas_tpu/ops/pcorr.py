@@ -284,9 +284,13 @@ def level1_dense_minrho(C, G):
 
     Returns (rho_min (v, v), s_argmin (v, v) int32).
     """
-    if jax.default_backend() == "tpu":
-        # VMEM-tiled Pallas kernel: the XLA loop below materializes
-        # (tile, v, v) intermediates in HBM and goes bandwidth bound
+    import os
+
+    if os.environ.get("CIGWAS_L1_PALLAS") and jax.default_backend() == "tpu":
+        # VMEM-tiled Pallas kernel, kept for comparison: measured 6.4x
+        # SLOWER than the XLA tiled loop at vp=2176 on v5e (39 vs 253 e9
+        # tests/s, scripts/probe_l1_routing.py) — XLA fuses the (tile, vp,
+        # vp) sweep into the min reduction without materializing it.
         from cigwas_tpu.ops.pallas.level1 import level1_min_rho_masked
 
         return level1_min_rho_masked(C, G)
@@ -298,10 +302,9 @@ def level1_dense_minrho(C, G):
         C = jnp.pad(C, ((0, pad), (0, pad)))
         Gm = jnp.pad(Gm, ((0, pad), (0, pad)))
     vp = v + pad
-    # x-tile sized so a (tile, vp, vp) sweep stays within a fused-VPU budget
+    # x-tile = 128: one sublane-aligned slab; larger tiles gain nothing
+    # (probe_l1_routing.py: 128 and 64 within noise at vp=2176)
     tile = 128
-    while tile > 8 and tile * vp * vp > (1 << 27):
-        tile //= 2
     rho_min, s_min = _level1_dense_padded(C, Gm, tile)
     return rho_min[:v, :v], s_min[:v, :v]
 

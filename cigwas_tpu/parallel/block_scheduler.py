@@ -11,6 +11,18 @@ from __future__ import annotations
 
 import jax
 
+# fixed per-block cost (device dispatch round-trips + host IO + pre-screen),
+# expressed in block_size^2 units: roughly the compute of a 128-marker
+# block. Dominates for small blocks, vanishes against genome-scale blocks.
+BLOCK_OVERHEAD_COST = 128 * 128
+
+
+def block_cost(block) -> int:
+    """Wall-cost model for one block: quadratic skeleton work + fixed
+    per-block overhead (the reference pays the same shape of cost per `mps
+    cusk` process launch, `ci-gwas.py:100-104`)."""
+    return block.block_size() ** 2 + BLOCK_OVERHEAD_COST
+
 
 def partition_blocks(
     blocks: list, num_partitions: int | None = None, index: int | None = None
@@ -18,7 +30,7 @@ def partition_blocks(
     """Blocks assigned to partition `index` of `num_partitions`.
 
     Defaults to jax process count/index for multi-host runs. Greedy
-    longest-processing-time assignment on block_size^2 keeps per-host cost
+    longest-processing-time assignment on `block_cost` keeps per-host wall
     balanced within ~the largest single block.
     """
     if num_partitions is None:
@@ -27,12 +39,10 @@ def partition_blocks(
         index = jax.process_index()
     loads = [0] * num_partitions
     assign: list[list] = [[] for _ in range(num_partitions)]
-    order = sorted(
-        range(len(blocks)), key=lambda i: -(blocks[i].block_size() ** 2)
-    )
+    order = sorted(range(len(blocks)), key=lambda i: -block_cost(blocks[i]))
     for i in order:
         tgt = loads.index(min(loads))
         assign[tgt].append(i)
-        loads[tgt] += blocks[i].block_size() ** 2
+        loads[tgt] += block_cost(blocks[i])
     chosen = sorted(assign[index])
     return [blocks[i] for i in chosen]
