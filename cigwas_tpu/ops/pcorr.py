@@ -35,6 +35,7 @@ pseudo-inverse path.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -284,8 +285,6 @@ def level1_dense_minrho(C, G):
 
     Returns (rho_min (v, v), s_argmin (v, v) int32).
     """
-    import os
-
     if os.environ.get("CIGWAS_L1_PALLAS") and jax.default_backend() == "tpu":
         # VMEM-tiled Pallas kernel, kept for comparison: measured 6.4x
         # SLOWER than the XLA tiled loop at vp=2176 on v5e (39 vs 253 e9
@@ -387,16 +386,14 @@ def hetcor1_dense_margin(C_dev, N_dev, t_dev, Gb, th: float):
         Gm = jnp.pad(Gm, ((0, pad), (0, pad)))
         N = jnp.pad(N, ((0, pad), (0, pad)), constant_values=10.0)
         t = jnp.pad(t, (0, pad))
-    vp = v + pad
-    if jax.default_backend() == "tpu":
+    if os.environ.get("CIGWAS_L1_PALLAS") and jax.default_backend() == "tpu":
+        # see level1_dense_minrho: the XLA tiled loop beats the Pallas VMEM
+        # kernel by ~6x on v5e; kept for comparison only
         from cigwas_tpu.ops.pallas.level1 import hetcor1_min_margin
 
         out = hetcor1_min_margin(C, N, t, Gm, th)
     else:
-        tile = 128
-        while tile > 8 and tile * vp * vp > (1 << 27):
-            tile //= 2
-        out = _hetcor1_dense_padded(C, N, t, Gm, jnp.float32(th), tile)
+        out = _hetcor1_dense_padded(C, N, t, Gm, jnp.float32(th), 128)
     return np.asarray(out)[:v, :v]
 
 
