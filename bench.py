@@ -260,14 +260,19 @@ def _phase_partition_scaling(result):
                     num_partitions=nparts, partition_index=pi, verbose=False,
                 )
                 walls.append(time.perf_counter() - t0)
-            return walls
+            return np.array(walls)
 
         one_pass("warm", 1)  # compile warmup
-        t1 = one_pass("p1", 1)[0]
-        walls2 = one_pass("p2", 2)
+        # min over reps tames host/tunnel jitter; scaling is capped at 1.0
+        # (a single chip runs both partitions sequentially, so any apparent
+        # superlinearity is noise)
+        t1 = min(one_pass("p1a", 1)[0], one_pass("p1b", 1)[0])
+        walls2 = np.minimum(one_pass("p2a", 2), one_pass("p2b", 2))
         result["blocks_wall_1part_s"] = round(t1, 2)
         result["blocks_wall_2part_s"] = [round(w, 2) for w in walls2]
-        result["projected_scaling_2part"] = round(t1 / (2 * max(walls2)), 3)
+        result["projected_scaling_2part"] = round(
+            min(1.0, t1 / (2 * max(walls2))), 3
+        )
 
 
 def main() -> int:
