@@ -61,7 +61,7 @@ def _build_step(m, p, th0, th1):
         codes = unpack_bed_codes(bed_bytes)
         X = geno_onehot(codes).reshape(3 * m, -1)
         counts = contingency_counts(X, X).astype(jnp.float32)
-        C_mm = _kendall_from_counts(counts.reshape(m, 3, m, 3).transpose(0, 2, 1, 3))
+        C_mm = _kendall_from_counts(counts, m, m)
         vals, valid = geno_value_valid(codes)
         n_val = valid.sum(axis=1, keepdims=True)
         mean = (vals * valid).sum(axis=1, keepdims=True) / n_val

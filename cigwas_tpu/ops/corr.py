@@ -76,14 +76,21 @@ def _prep_bytes(bed_bytes: np.ndarray, num_samples: int, sample_chunk: int):
     return bed_bytes, bed_bytes.shape[1] // chunk_bytes
 
 
-def _kendall_from_counts(S: jnp.ndarray) -> jnp.ndarray:
-    """(..., 3, 3) contingency counts -> npn correlation sin(pi/2 * tau_b).
+@partial(jax.jit, static_argnames=("mr", "mc"))
+def _kendall_from_counts(counts: jnp.ndarray, mr: int, mc: int) -> jnp.ndarray:
+    """(3mr, 3mc) channel-major contingency counts -> (mr, mc) npn corr.
 
-    S[a, b] counts individuals with genotype a for the row marker and b for
-    the column marker; concordant/discordant/tie aggregates follow
-    `corr_kernels.cu:455-471`.
+    counts[a*mr + i, b*mc + j] counts individuals with genotype a for row
+    marker i and b for column marker j (the channel-major one-hot layout of
+    :func:`cigwas_tpu.ops.decode.geno_onehot` makes the nine per-(a, b)
+    count matrices contiguous blocks — no TPU-hostile dim-3 transpose).
+    Concordant/discordant/tie aggregates follow `corr_kernels.cu:455-471`;
+    the result is sin(pi/2 * tau_b).
     """
-    s = [S[..., i // 3, i % 3] for i in range(9)]
+    s = [
+        counts[(i // 3) * mr : (i // 3 + 1) * mr, (i % 3) * mc : (i % 3 + 1) * mc]
+        for i in range(9)
+    ]
     p = (
         s[0] * (s[4] + s[5] + s[7] + s[8])
         + s[1] * (s[5] + s[8])
@@ -120,7 +127,8 @@ def _kendall_from_counts(S: jnp.ndarray) -> jnp.ndarray:
 def _kendall_counts_block(rows_bytes, cols_bytes, n_chunks: int):
     """Accumulated 3x3 contingency counts between two packed byte panels.
 
-    rows_bytes: (mr, B), cols_bytes: (mc, B) -> counts (mr, mc, 3, 3) f32.
+    rows_bytes: (mr, B), cols_bytes: (mc, B) -> channel-major counts
+    (3mr, 3mc) f32 (see `_kendall_from_counts` for the block layout).
     Scans over sample chunks; each step decodes on the fly and issues one
     (3*mr, nc) x (nc, 3*mc) int8 MXU matmul (exact int32 accumulation).
     """
@@ -139,7 +147,7 @@ def _kendall_counts_block(rows_bytes, cols_bytes, n_chunks: int):
     counts, _ = jax.lax.scan(
         step, jnp.zeros((3 * mr, 3 * mc), jnp.int32), jnp.arange(n_chunks)
     )
-    return counts.astype(jnp.float32).reshape(mr, 3, mc, 3).transpose(0, 2, 1, 3)
+    return counts.astype(jnp.float32)
 
 
 def kendall_npn_corr(
@@ -177,7 +185,7 @@ def kendall_npn_corr(
 
     for t0 in range(0, mp, row_tile):
         counts = _kendall_counts_block(cols[t0 : t0 + row_tile], cols, n_chunks)
-        pending.append((t0, _kendall_from_counts(counts)))
+        pending.append((t0, _kendall_from_counts(counts, row_tile, mp)))
         if len(pending) >= wave:
             drain()
     drain()
@@ -237,7 +245,9 @@ def kendall_npn_corr_banded(
         rows_b = _pad_rows(padded[t0 : t0 + rt], row_tile, PAD_BYTE)
         cols_b = _pad_rows(padded[t0:cols_end], row_tile + corr_width, PAD_BYTE)
         counts = _kendall_counts_block(jnp.asarray(rows_b), jnp.asarray(cols_b), n_chunks)
-        pending.append((t0, rt, _kendall_from_counts(counts)))
+        pending.append(
+            (t0, rt, _kendall_from_counts(counts, row_tile, row_tile + corr_width))
+        )
         if len(pending) >= wave:
             drain()
     drain()
@@ -377,9 +387,7 @@ def _panel_device(bed_bytes, phen0, phenv, mean, std, n_chunks: int):
         jnp.zeros((m, p), jnp.float32),
     )
     (counts, s_mp, s_p, n_val), _ = jax.lax.scan(step, init, jnp.arange(n_chunks))
-    C_mm = _kendall_from_counts(
-        counts.astype(jnp.float32).reshape(m, 3, m, 3).transpose(0, 2, 1, 3)
-    )
+    C_mm = _kendall_from_counts(counts.astype(jnp.float32), m, m)
     C_mp = (s_mp - mean[:, None] * s_p) / (n_val * std[:, None])
     s_pp = jnp.dot(
         phen0, phen0.T, preferred_element_type=jnp.float32,

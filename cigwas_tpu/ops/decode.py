@@ -30,7 +30,7 @@ def unpack_bed_codes(bed_bytes: jnp.ndarray) -> jnp.ndarray:
 
 
 def geno_onehot(codes: jnp.ndarray, dtype=jnp.int8) -> jnp.ndarray:
-    """(m, n) codes -> (m, 3, n) one-hot over genotype values {0, 1, 2}.
+    """(m, n) codes -> (3, m, n) one-hot over genotype values {0, 1, 2}.
 
     Missing genotypes (code 1) produce an all-zero column, i.e. validity is
     folded into the one-hot; the per-value channels are
@@ -39,11 +39,17 @@ def geno_onehot(codes: jnp.ndarray, dtype=jnp.int8) -> jnp.ndarray:
     int8 by default: the contingency matmuls consume {0,1} operands and the
     v5e MXU runs int8 x int8 -> int32 at ~2.4x its bf16 rate (~470 TOP/s
     measured vs ~200 TFLOP/s); counts are exact integers either way.
+
+    CHANNEL-MAJOR layout: `.reshape(3 * m, n)` orders rows [channel, marker],
+    so the (3m, 3m) contingency matmul lands the nine per-channel-pair count
+    matrices as CONTIGUOUS (m, m) blocks. The channel-minor alternative
+    needs a (m, 3, m, 3) -> (m, m, 3, 3) transpose whose dim-3 minor axes
+    relayout catastrophically on TPU (~12 ms of a 19 ms step at m=1024).
     """
     g0 = (codes == 3).astype(dtype)
     g1 = (codes == 2).astype(dtype)
     g2 = (codes == 0).astype(dtype)
-    return jnp.stack([g0, g1, g2], axis=1)
+    return jnp.stack([g0, g1, g2], axis=0)
 
 
 def contingency_counts(ra: jnp.ndarray, ca: jnp.ndarray) -> jnp.ndarray:

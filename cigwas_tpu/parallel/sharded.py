@@ -365,9 +365,7 @@ def _panel_sharded_body(bed_rows, bed_full, phen0, phenv, mean, std,
         jnp.zeros((ms, p), jnp.float32),
     )
     (counts, s_mp, s_p, n_val), _ = jax.lax.scan(step, init, jnp.arange(n_chunks))
-    C_mm_rows = _kendall_from_counts(
-        counts.astype(jnp.float32).reshape(ms, 3, m, 3).transpose(0, 2, 1, 3)
-    )
+    C_mm_rows = _kendall_from_counts(counts.astype(jnp.float32), ms, m)
     shard = jax.lax.axis_index(axis)
     mean_rows = jax.lax.dynamic_slice(mean, (shard * ms,), (ms,))
     std_rows = jax.lax.dynamic_slice(std, (shard * ms,), (ms,))

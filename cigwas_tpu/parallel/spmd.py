@@ -53,17 +53,19 @@ def build_multichip_cusk_step(mesh: Mesh, th0: float, th1: float):
         def per_block(codes_b, phen_b):
             ms, ns = codes_b.shape
             p = phen_b.shape[0]
-            X_loc = _onehot(codes_b)  # (3ms, ns)
-            # tensor-parallel panel: gather the full marker axis
-            X_all = jax.lax.all_gather(X_loc, "marker", tiled=True)  # (3m, ns)
+            X_loc = _onehot(codes_b)  # (3ms, ns) channel-major
+            # tensor-parallel panel: gather the full marker axis as CODES
+            # (the channel-major one-hot layout does not survive a tiled
+            # all_gather over markers — channel blocks would interleave per
+            # device), then one-hot locally
+            codes_all = jax.lax.all_gather(codes_b, "marker", tiled=True)
+            X_all = _onehot(codes_all)  # (3m, ns) channel-major
             counts = jax.lax.psum(
                 jnp.dot(X_loc, X_all.T, preferred_element_type=jnp.int32),
                 "sample",
             )  # (3ms, 3m) exact int32 counts from the int8 MXU path
-            m = X_all.shape[0] // 3
-            C_mm = _kendall_from_counts(
-                counts.astype(jnp.float32).reshape(ms, 3, m, 3).transpose(0, 2, 1, 3)
-            )  # (ms, m)
+            m = codes_all.shape[0]
+            C_mm = _kendall_from_counts(counts.astype(jnp.float32), ms, m)
 
             # marker-phen pearson on standardized traits (sample psum);
             # missing codes decode to (2.0, valid=0) so vals * valid drops them
