@@ -225,6 +225,167 @@ def level_scan_minrho(C, node_ixs, nbrs, deg, combos_seq, left_seq, l: int):
     return rho_min, rank
 
 
+def _pair_sweep(Cb, qb, deg_x, t_hi, y_excl, ct: int):
+    """Min |rho_{xy|base u {s,t}}| over pairs s < t, per neighbour slot y.
+
+    The level-(k+2) partial correlation given a base set B (|B| = k) is
+    obtained from the level-k local panel by two steps of the classic
+    recursion rho_{ab|B,c} = (rho_{ab|B} - rho_{ac|B} rho_{bc|B}) /
+    sqrt((1-rho_{ac|B}^2)(1-rho_{bc|B}^2)) — algebraically the same Schur
+    complement as `cuPC-S.cu:664-699`, but every test costs O(1) fused VPU
+    ops instead of a per-combination matrix inverse.
+
+    Cb: (d, d) pcorr(a, b | B) among the node's neighbours; qb: (d,)
+    pcorr(x, b | B); deg_x: live degree; pairs are restricted to
+    s < t < min(deg_x, t_hi) and y != y_excl (the level-3 outer scan passes
+    its base element). Chunked over t (the colex-major element) in blocks of
+    ct so peak memory is (ct, d, d); within a chunk the argmin runs in
+    (t, s)-major order and across chunks the merge is strictly `<` with t
+    ascending — together this selects the LOWEST COLEX RANK among ties,
+    matching the combinatorial path's chunk-scan tie-breaking.
+
+    Returns (rho_min (d,), t_pos (d,), s_pos (d,)) with positions into the
+    neighbour list (int32).
+    """
+    d = Cb.shape[0]
+    s_ix = jnp.arange(d)
+    t_cap = jnp.minimum(deg_x, t_hi)
+
+    def chunk_fn(t0):
+        Ct = jax.lax.dynamic_slice(Cb, (t0, 0), (ct, d))  # (t, s)
+        qt = jax.lax.dynamic_slice(qb, (t0,), (ct,))
+        Rt = jax.lax.rsqrt(jnp.abs(1.0 - Ct * Ct))  # (t, s)
+        # first conditioning step: everything given B u {t}
+        q2 = (qb[None, :] - qt[:, None] * Ct) * (
+            jax.lax.rsqrt(jnp.abs(1.0 - qt * qt))[:, None] * Rt
+        )  # (t, b) = pcorr(x, b | B u {t})
+        CtT = Ct.T  # (y, t)
+        RtT = Rt.T
+        T2 = (Cb[:, None, :] - CtT[:, :, None] * Ct[None, :, :]) * (
+            RtT[:, :, None] * Rt[None, :, :]
+        )  # (y, t, s) = pcorr(y, s | B u {t})
+        # second step: rho_{xy | B u {t, s}}
+        rho = jnp.abs(q2.T[:, :, None] - q2[None, :, :] * T2) * (
+            jax.lax.rsqrt(jnp.abs(1.0 - q2 * q2))[None, :, :]
+            * jax.lax.rsqrt(jnp.abs(1.0 - T2 * T2))
+        )  # (y, t, s)
+        t_glob = t0 + jnp.arange(ct)
+        bad = (
+            (s_ix[None, None, :] >= t_glob[None, :, None])  # s < t
+            | (t_glob[None, :, None] >= t_cap)
+            | (s_ix[:, None, None] >= deg_x)  # y live
+            | (s_ix[:, None, None] == s_ix[None, None, :])  # y == s
+            | (s_ix[:, None, None] == t_glob[None, :, None])  # y == t
+            | (s_ix[:, None, None] == y_excl)
+        )
+        rho = jnp.where(bad | ~jnp.isfinite(rho), RHO_BIG, rho)
+        # axis-wise reductions (never reshape the cube: XLA fuses a
+        # producer into a plain reduce, but not through a reshape — the
+        # reshape forces the (y, t, s) tensor to materialize in HBM)
+        rho_s = jnp.min(rho, axis=2)  # (y, t)
+        am_s = jnp.argmin(rho, axis=2).astype(jnp.int32)  # (y, t)
+        rmin = jnp.min(rho_s, axis=1)  # (y,)
+        am_t = jnp.argmin(rho_s, axis=1)  # (y,) first occurrence = smallest t
+        sl = jnp.take_along_axis(am_s, am_t[:, None], axis=1)[:, 0]
+        return rmin, t0 + am_t.astype(jnp.int32), sl
+
+    if ct == d:
+        # single chunk: no loop at all
+        return chunk_fn(0)
+
+    def chunk(i, carry):
+        rho0, tp0, sp0 = carry
+        rmin, tl, sl = chunk_fn(i * ct)
+        # strict < with t ascending across chunks + first-occurrence argmin
+        # within a chunk selects the lowest colex rank among ties
+        better = rmin < rho0
+        return (
+            jnp.where(better, rmin, rho0),
+            jnp.where(better, tl, tp0),
+            jnp.where(better, sl, sp0),
+        )
+
+    init = (
+        jnp.full((d,), RHO_BIG, jnp.float32),
+        jnp.zeros((d,), jnp.int32),
+        jnp.zeros((d,), jnp.int32),
+    )
+    return jax.lax.fori_loop(0, d // ct, chunk, init)
+
+
+@partial(jax.jit, static_argnames=("ct",))
+def level2_local_sweep(C, node_ixs, nbrs, deg, ct: int):
+    """ALL level-2 CI tests of a node tile in one dispatch.
+
+    For every node x of the tile and every neighbour slot y, the minimum
+    |rho_{xy|s,t}| over all C(deg(x), 2) conditioning pairs from x's
+    neighbour list, with the minimizing pair positions (colex tie-break —
+    identical test set to `cal_Indepl2`, `cuPC-S.cu:584-716`). Dense
+    local-panel recursion: ~O(1) VPU ops per test, no per-combination
+    gathers or inverses.
+
+    Returns (rho_min (nt, d), pos (nt, d, 2) int32 ascending positions).
+    """
+    C_x = C[nbrs[:, :, None], nbrs[:, None, :]]  # (nt, d, d)
+    c_row = C[node_ixs[:, None], nbrs]  # (nt, d)
+    d = nbrs.shape[1]
+
+    def per_node(Cb, qb, deg_x):
+        rho, t_pos, s_pos = _pair_sweep(
+            Cb, qb, deg_x, jnp.int32(d), jnp.int32(d), ct
+        )
+        return rho, jnp.stack([s_pos, t_pos], axis=-1)
+
+    return jax.vmap(per_node)(C_x, c_row, deg)
+
+
+@partial(jax.jit, static_argnames=("ct",))
+def level3_local_sweep(C, node_ixs, nbrs, deg, ct: int):
+    """ALL level-3 CI tests of a node tile in one dispatch.
+
+    Outer scan over the largest conditioning element u (colex-major): each
+    step conditions the local panel on u via the recursion and runs the
+    level-2 pair sweep bounded to s < t < u. Strict-< merge with u ascending
+    keeps the lowest colex rank among ties. Same tests as `cal_Indepl3`
+    (`cuPC-S.cu:718-871`).
+
+    Returns (rho_min (nt, d), pos (nt, d, 3) int32 ascending positions).
+    """
+    C_x = C[nbrs[:, :, None], nbrs[:, None, :]]
+    c_row = C[node_ixs[:, None], nbrs]
+    d = nbrs.shape[1]
+
+    def per_node(Cb, qb, deg_x):
+        def outer(u, carry):
+            rho0, p3, p2, p1 = carry
+            cu = jax.lax.dynamic_index_in_dim(Cb, u, 0, keepdims=False)  # (d,)
+            qu = jax.lax.dynamic_index_in_dim(qb, u, 0, keepdims=False)
+            Ru = jax.lax.rsqrt(jnp.abs(1.0 - cu * cu))
+            T1 = (Cb - cu[:, None] * cu[None, :]) * (Ru[:, None] * Ru[None, :])
+            q1 = (qb - qu * cu) * (jax.lax.rsqrt(jnp.abs(1.0 - qu * qu)) * Ru)
+            rmin, tb, sb = _pair_sweep(T1, q1, deg_x, u, u, ct)
+            # u >= deg_x is not a valid conditioning variable: its local
+            # panel row holds junk from padded neighbour slots
+            better = (rmin < rho0) & (u < deg_x)
+            return (
+                jnp.where(better, rmin, rho0),
+                jnp.where(better, u, p3),
+                jnp.where(better, tb, p2),
+                jnp.where(better, sb, p1),
+            )
+
+        init = (
+            jnp.full((d,), RHO_BIG, jnp.float32),
+            jnp.zeros((d,), jnp.int32),
+            jnp.zeros((d,), jnp.int32),
+            jnp.zeros((d,), jnp.int32),
+        )
+        rho, p3, p2, p1 = jax.lax.fori_loop(2, d, outer, init)
+        return rho, jnp.stack([p1, p2, p3], axis=-1)
+
+    return jax.vmap(per_node)(C_x, c_row, deg)
+
+
 @partial(jax.jit, static_argnames=("tile",))
 def _level1_dense_padded(C, Gm, tile: int):
     """Tiled dense level-1 sweep over a padded (vp, vp) panel.

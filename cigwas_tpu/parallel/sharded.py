@@ -104,6 +104,42 @@ def make_level_scan_sharded(mesh: Mesh, axis: str):
     return run
 
 
+def make_level_local_sharded(mesh: Mesh, axis: str, l: int):
+    """Sharded dense local-panel sweep (levels 2/3): node tiles over `axis`.
+
+    Same contract as :func:`cigwas_tpu.ops.pcorr.level2_local_sweep` /
+    `level3_local_sweep`; node-tile length must be a multiple of the axis
+    size (the caller pads tiles).
+    """
+    base = {
+        2: pcorr_ops.level2_local_sweep,
+        3: pcorr_ops.level3_local_sweep,
+    }[l]
+
+    cache = {}
+
+    def run(C, node_ixs, nbrs, deg, ct: int):
+        fn = cache.get(ct)
+        if fn is None:
+            fn = jax.jit(
+                _shard_map(
+                    partial(base, ct=ct),
+                    mesh,
+                    in_specs=(
+                        P(None, None),  # C replicated
+                        P(axis),
+                        P(axis, None),
+                        P(axis),
+                    ),
+                    out_specs=(P(axis, None), P(axis, None, None)),
+                )
+            )
+            cache[ct] = fn
+        return fn(C, node_ixs, nbrs, deg)
+
+    return run
+
+
 def make_level_scan_hetcor_sharded(mesh: Mesh, axis: str):
     """Sharded `level_scan_hetcor` (same layout; N/time replicated)."""
 
@@ -463,6 +499,8 @@ class ShardedEngine:
         self.axis = axis
         self.ndev = mesh_axis_size(mesh, axis)
         self.level_scan_minrho = make_level_scan_sharded(mesh, axis)
+        self.level2_local_sweep = make_level_local_sharded(mesh, axis, 2)
+        self.level3_local_sweep = make_level_local_sharded(mesh, axis, 3)
         self.level_scan_hetcor = make_level_scan_hetcor_sharded(mesh, axis)
         self.level1_dense_minrho = make_level1_sharded(mesh, axis)
         self.hetcor1_dense_margin = make_hetcor1_sharded(mesh, axis)

@@ -132,6 +132,121 @@ def _run_level_dense1(C_dev, Gb: np.ndarray, rho_threshold: float):
     return removed, (xs, ys, s_sel, rho_sel)
 
 
+# per-launch element budget for the dense local-panel sweeps: the biggest
+# live tensor is (node_tile, ct, d, d) f32
+LOCAL_ELEM_BUDGET = 1 << 26
+# levels routed through the dense local-panel recursion (`_run_level_local`)
+# instead of the combinatorial chunk scan (`_run_level`); tests monkeypatch
+# this to () to force-compare the two paths
+LOCAL_LEVELS = (2, 3)
+
+
+def _run_level_local(
+    C_dev,
+    G: np.ndarray,
+    l: int,
+    rho_threshold: float,
+    verbose: bool = False,
+    engine=None,
+    stats: dict | None = None,
+):
+    """Levels 2/3 via the dense local-panel recursion.
+
+    One launch per (degree-bucket, node-tile) covers ALL C(deg, l)
+    conditioning sets — no combination chunk streaming, no one-hot selection
+    matmuls; each test costs O(1) fused VPU ops
+    (:func:`cigwas_tpu.ops.pcorr.level2_local_sweep` /
+    :func:`level3_local_sweep`). Same test set and colex tie-breaking as the
+    combinatorial path.
+
+    Returns (removed, rho_full (n, n), sep_full (n, n, l)) where sep_full
+    holds the minimizing conditioning VARIABLE indices (ascending) for every
+    ordered pair enumerated from x's side.
+    """
+    assert l in (2, 3)
+    n = G.shape[0]
+    Gb = G.astype(bool)
+    deg_all = Gb.sum(axis=1)
+    active = np.where(deg_all >= l + 1)[0]
+    removed = np.zeros((n, n), dtype=bool)
+    rho_full = np.full((n, n), np.inf, dtype=np.float32)
+    sep_full = np.zeros((n, n, l), dtype=np.int32)
+    if active.size == 0:
+        return removed, rho_full, sep_full
+
+    buckets: dict = {}
+    for x in active:
+        d_pad = _next_pow2(max(int(deg_all[x]), 8))
+        buckets.setdefault(d_pad, []).append(int(x))
+
+    sweep = {2: pcorr_ops.level2_local_sweep, 3: pcorr_ops.level3_local_sweep}[l]
+    if engine is not None:
+        sweep = {2: engine.level2_local_sweep, 3: engine.level3_local_sweep}[l]
+
+    pending = []
+    for d_pad in sorted(buckets):
+        nodes = np.array(buckets[d_pad], dtype=np.int32)
+        # pair-sweep chunk: peak live tensor is (nt, ct, d, d)
+        ct = max(8, min(d_pad, LOCAL_ELEM_BUDGET // (d_pad * d_pad)))
+        ct = 1 << (ct.bit_length() - 1)
+        ct = min(ct, d_pad)
+        node_tile = max(1, LOCAL_ELEM_BUDGET // (ct * d_pad * d_pad))
+        if node_tile > 1:
+            node_tile = 1 << (node_tile.bit_length() - 1)
+        node_tile = min(node_tile, _next_pow2(len(nodes)))
+        if engine is not None:
+            # BYTE-IDENTITY INVARIANT: XLA's fused elementwise numerics for
+            # the local sweeps depend on the batch (node-tile) shape, so the
+            # per-DEVICE shard shape must equal the single-device launch
+            # shape — each device runs a full `node_tile`-sized tile and a
+            # launch covers ndev tiles. (Verified: shard_map local shape S
+            # is bit-equal to a plain jit at shape S; shapes S != S' are
+            # not bit-equal to each other.)
+            node_tile = node_tile * engine.ndev
+        if stats is not None:
+            stats["ci_tests"] = stats.get("ci_tests", 0) + int(
+                sum(
+                    math.comb(int(deg_all[x]), l) * int(deg_all[x])
+                    for x in nodes
+                )
+            )
+        for s0 in range(0, len(nodes), node_tile):
+            tile = nodes[s0 : s0 + node_tile]
+            pad = node_tile - len(tile)
+            tile_p = (
+                np.concatenate([tile, np.full(pad, tile[-1], np.int32)])
+                if pad
+                else tile
+            )
+            nbrs, deg = _compact_neighbors(Gb, tile_p, d_pad)
+            rho_dev, pos_dev = sweep(
+                C_dev, jnp.asarray(tile_p), jnp.asarray(nbrs), jnp.asarray(deg),
+                ct,
+            )
+            pending.append((tile, nbrs, deg, rho_dev, pos_dev))
+
+    for _, _, _, rho_dev, pos_dev in pending:
+        rho_dev.copy_to_host_async()
+        pos_dev.copy_to_host_async()
+    for tile, nbrs, deg, rho_dev, pos_dev in pending:
+        rho_c = np.asarray(rho_dev)
+        pos_c = np.asarray(pos_dev)
+        nt_real = len(tile)
+        d_pad = nbrs.shape[1]
+        valid = np.arange(d_pad)[None, :] < deg[:nt_real, None]
+        ri, ci = np.nonzero(valid)
+        x_idx = tile[ri]
+        y_idx = nbrs[ri, ci]
+        rho_full[x_idx, y_idx] = rho_c[ri, ci]
+        # positions -> variable indices via each node's neighbour list
+        sep_full[x_idx, y_idx] = nbrs[ri[:, None], pos_c[ri, ci]]
+    if verbose:
+        print(f"[level {l}] local-sweep launches: {len(pending)}")
+    cond = (rho_full < rho_threshold) & Gb
+    removed = cond | cond.T
+    return removed, rho_full, sep_full
+
+
 def _run_level(
     C_dev,
     G: np.ndarray,
@@ -453,6 +568,17 @@ def skeleton(
             sepset[xs, ys, 0] = s_sel
             sepset[xs, ys, 1:] = -1
             pmax[xs, ys] = fisher_z(rho_sel)
+        elif l in LOCAL_LEVELS:
+            removed, rho_min, sep_vars = _run_level_local(
+                C_dev, G.astype(np.int32), l, rho_th, verbose=verbose,
+                engine=engine, stats=stats,
+            )
+            side = (rho_min < rho_th) & G
+            xs, ys = np.nonzero(side)
+            if len(xs):
+                pmax[xs, ys] = fisher_z(rho_min[xs, ys])
+                sepset[xs, ys, l:] = -1
+                sepset[xs, ys, :l] = sep_vars[xs, ys]
         else:
             removed, rho_min, rank = _run_level(
                 C_dev, G.astype(np.int32), l, rho_th, chunk, verbose=verbose,

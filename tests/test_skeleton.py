@@ -299,3 +299,102 @@ def test_hetcor_level1_list_path_matches_dense(n10_fixture, monkeypatch):
     monkeypatch.setattr(cupc, "DENSE_L1_MAX", 0)
     listp = cupc.hetcor_skeleton(C, np.ones((v, v), np.int32), N, th0, 3)
     np.testing.assert_array_equal(dense.G, listp.G)
+
+
+def test_level23_local_path_matches_combinatorial():
+    """Levels 2/3 route through the dense local-panel recursion
+    (`_run_level_local`); it must enumerate the SAME tests as the
+    combinatorial chunk scan and pick the same minimizing sepsets.
+    Adjacency/sepsets exact; pmax allclose (the recursion
+    `cuPC-S.cu:664-699` and the Schur-complement inverse compute the same
+    quantity through different float32 op orders)."""
+    import cigwas_tpu.skeleton.cupc as cupc
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        nv, n = 40, 20000
+        X = np.zeros((nv, n))
+        X[0] = rng.normal(size=n)
+        for i in range(1, nv):
+            ps = rng.choice(i, size=min(i, 3), replace=False)
+            X[i] = sum(0.4 * X[p] for p in ps) + rng.normal(size=n)
+        C = np.corrcoef(X).astype(np.float32)
+        th = threshold_array(n, 0.01)
+        local = skeleton(C, th, 4)
+        with pytest.MonkeyPatch.context() as mp:
+            mp.setattr(cupc, "LOCAL_LEVELS", ())
+            combi = cupc.skeleton(C, th, 4)
+        np.testing.assert_array_equal(local.G, combi.G)
+        np.testing.assert_array_equal(local.sepset, combi.sepset)
+        np.testing.assert_allclose(local.pmax, combi.pmax, rtol=1e-3, atol=1e-5)
+        assert local.final_level == combi.final_level
+
+
+@pytest.mark.parametrize("level", [2, 3])
+@pytest.mark.parametrize("ct", [8, 16])
+def test_local_sweep_colex_tie_break(level, ct):
+    """Exact-tie sepsets must resolve to the LOWEST colex rank. Variable 9
+    duplicates variable 1 bit-for-bit, so a conditioning set using 9 ties
+    with its 1-twin whenever swapping them leaves the kernel's conditioning
+    SEQUENCE unchanged (identical rows -> identical float32 arithmetic):
+
+    * 9 in a non-maximal slot of the pair sweep's (s, t): the twin keeps the
+      same t, so the tie is exact and the twin's colex rank is lower -> the
+      winning s position is never the 9 slot;
+    * 9 as the pair sweep's t with s below the 1 slot: the twin {s, 1} has
+      the same s and an identical t row at lower colex -> t == slot9 implies
+      s > slot1 (this exercises the cross-chunk strict-< merge, since the
+      two slots land in different ct=8 chunks).
+
+    Twins that change the conditioning order (9 as the level-3 outer u) are
+    NOT exact ties and are not asserted."""
+    from cigwas_tpu.ops.pcorr import (
+        RHO_BIG,
+        level2_local_sweep,
+        level3_local_sweep,
+    )
+
+    rng = np.random.default_rng(11)
+    nv, n = 18, 4000
+    X = rng.normal(size=(nv, n))
+    for i in range(2, nv):
+        X[i] += 0.5 * X[rng.integers(0, i)]
+    X[9] = X[1]  # exact duplicate
+    C = np.corrcoef(X).astype(np.float32)
+
+    d = 16
+    nodes = np.array([10, 12, 14], dtype=np.int32)
+    nbrs = np.stack(
+        [np.sort(rng.choice(nv, size=d, replace=False)) for _ in nodes]
+    ).astype(np.int32)
+    # force both twins into every neighbour list
+    for r in range(len(nodes)):
+        row = set(nbrs[r].tolist()) | {1, 9}
+        row.discard(int(nodes[r]))
+        pad = [v for v in range(nv) if v not in row]
+        vals = sorted(row)[:d]
+        while len(vals) < d:
+            vals.append(pad.pop())
+        nbrs[r] = np.sort(np.array(vals, dtype=np.int32))
+    deg = np.full(len(nodes), d, dtype=np.int32)
+
+    sweep = {2: level2_local_sweep, 3: level3_local_sweep}[level]
+    rho, pos = sweep(C, nodes, nbrs, deg, ct)
+    rho = np.asarray(rho)
+    pos = np.asarray(pos)
+    for r in range(len(nodes)):
+        slot1 = int(np.where(nbrs[r] == 1)[0][0])
+        slot9 = int(np.where(nbrs[r] == 9)[0][0])
+        # y rows that ARE one of the twins can't use the other twin (y == s
+        # is masked; conditioning var9 on its own copy is non-finite), so
+        # the tie argument only applies to the remaining rows
+        ys = [y for y in range(nbrs.shape[1]) if y not in (slot1, slot9)]
+        live = rho[r][ys] < RHO_BIG
+        assert live.any()
+        p = pos[r][ys][live]  # ascending positions
+        # s (and the level-3 middle element) never land on the 9 slot
+        assert not (p[:, 0] == slot9).any()
+        # 9 as the pair sweep's t with s < slot1: the twin {s, 1(, u)} keeps
+        # the conditioning sequence, ties exactly, and sorts lower in colex
+        bad = (p[:, 1] == slot9) & (p[:, 0] < slot1)
+        assert not bad.any()
