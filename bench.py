@@ -274,6 +274,50 @@ def _phase_partition_scaling(result):
             min(1.0, t1 / (2 * max(walls2))), 3
         )
 
+        # MEASURED multi-process scaling: the same partitioned workload run
+        # by real concurrent OS processes (CPU platform — workers must not
+        # contend for the single attached TPU), the executed form of the
+        # reference's distribute-then-merge cluster workflow
+        # (`ci-gwas.py:100-104`). Every worker is pinned to ONE core so each
+        # has the same compute budget regardless of world size — the honest
+        # single-machine proxy for per-host scaling.
+        import subprocess
+        import sys as _sys
+
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
+        env.pop("PALLAS_AXON_POOL_IPS", None)  # axon hook inits the backend
+        ncores = os.cpu_count() or 2
+
+        def procs_pass(tag, nparts):
+            outdir = os.path.join(td, f"out_mp_{tag}")
+            os.makedirs(outdir, exist_ok=True)
+            t0 = time.perf_counter()
+            ps = [
+                subprocess.Popen(
+                    ["taskset", "-c", str(pi % ncores),
+                     _sys.executable, "-m", "cigwas_tpu.parallel.distributed",
+                     stem + ".phen", stem, blockfile, "1e-4", "3", "14", "1",
+                     outdir, str(nparts), str(pi)],
+                    env=env, stdout=subprocess.DEVNULL,
+                    stderr=subprocess.DEVNULL,
+                )
+                for pi in range(nparts)
+            ]
+            for p in ps:
+                if p.wait() != 0:
+                    raise RuntimeError(f"partition worker failed ({tag})")
+            return time.perf_counter() - t0
+
+        procs_pass("warm", 1)  # child process compile warmup (fills cache)
+        mp1 = min(procs_pass("p1a", 1), procs_pass("p1b", 1))
+        mp2 = min(procs_pass("p2a", 2), procs_pass("p2b", 2))
+        result["mproc_wall_1proc_s"] = round(mp1, 2)
+        result["mproc_wall_2proc_s"] = round(mp2, 2)
+        # 1 worker does ALL blocks on one core; 2 workers do their halves
+        # concurrently on one core each -> ideal wall ratio is 2x
+        result["measured_scaling_2proc"] = round(min(1.0, mp1 / (2 * mp2)), 3)
+
 
 def main() -> int:
     import jax

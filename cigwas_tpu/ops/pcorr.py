@@ -43,8 +43,11 @@ import jax.numpy as jnp
 import numpy as np
 
 # sentinel for invalid tests; |rho| <= 1 for any valid test
-RHO_BIG = jnp.float32(2.0)
-MARGIN_BIG = jnp.float32(3.0e38)
+# numpy (not jnp) scalars: a module-level jnp constant would initialize the
+# XLA backend at import time, which breaks `init_distributed` (it must run
+# before any backend initialization)
+RHO_BIG = np.float32(2.0)
+MARGIN_BIG = np.float32(3.0e38)
 
 
 def _inv_small(M: jnp.ndarray, l: int) -> jnp.ndarray:

@@ -5,8 +5,10 @@ once for each block", `README.md:57`). This runner makes it first class:
 
 * single host: iterate this process's partition of the block list (the
   device pipeline keeps the chip busy within each block),
-* multi host (`jax.distributed` initialized externally): each process takes
-  its load-balanced share via
+* multi host (`jax.distributed` wired by
+  :func:`cigwas_tpu.parallel.distributed.init_distributed`, or one
+  `python -m cigwas_tpu.parallel.distributed` worker per partition): each
+  process takes its load-balanced share via
   :func:`cigwas_tpu.parallel.block_scheduler.partition_blocks`; the merge
   step then reads all block outputs from the shared filesystem exactly like
   the reference's workflow, so no cross-host communication is needed beyond
