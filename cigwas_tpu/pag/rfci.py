@@ -413,6 +413,308 @@ def udag2apag(
 
 
 # --------------------------------------------------------------------------
+# sequential (pcalg-order) rules — the simulation drivers' udag2apag
+#
+# The reference ships TWO rule engines: `udag2apag_ci_gwas`
+# (`RFCI_functions_final.R:286-333`, order-independent per-pass snapshots,
+# used by the production cusk2 driver and ported above) and the SEQUENTIAL
+# `udag2apag` (`RFCI_functions_final.R:335-833`, used by
+# `CIGWAS_est_PAG_simulations.R:153`), where every rule pass reads the LIVE
+# matrix: a match list is taken once per pass (R's column-major
+# `which(..., arr.ind=TRUE)`), but the per-match search sets and guard
+# re-checks see all orientations applied earlier in the same pass. The two
+# engines can produce different PAGs (see tests/test_pag.py), so both are
+# kept; rule-4's commented-out CI re-testing (`RFCI_functions_final.R:518`)
+# means no indepTest is needed here either.
+
+
+def rule1_seq(apag, unf):
+    p = apag.shape[0]
+    for a, b in _colmajor_pairs((apag == 2) & (apag.T != 0)):
+        ind_c = np.where(
+            (apag[b, :] != 0)
+            & (apag[:, b] == 1)
+            & (apag[a, :] == 0)
+            & (apag[:, a] == 0)
+        )[0]
+        ind_c = ind_c[ind_c != a]
+        if len(ind_c) == 0:
+            continue
+        if not unf:
+            apag[b, ind_c] = 2
+            apag[ind_c, b] = 3
+        else:
+            for c in ind_c:
+                if not _is_unf(unf, p, a, b, c):
+                    apag[b, c] = 2
+                    apag[c, b] = 3
+    return apag
+
+
+def rule2_seq(apag, unf):
+    for a, c in _colmajor_pairs((apag == 1) & (apag.T != 0)):
+        cond = (
+            (apag[a, :] == 2) & (apag[:, a] == 3) & (apag[c, :] != 0) & (apag[:, c] == 2)
+        ) | (
+            (apag[a, :] == 2) & (apag[:, a] != 0) & (apag[c, :] == 3) & (apag[:, c] == 2)
+        )
+        if cond.any():
+            apag[a, c] = 2
+    return apag
+
+
+def rule3_seq(apag, unf):
+    p = apag.shape[0]
+    for b, d in _colmajor_pairs((apag != 0) & (apag.T == 1)):
+        ind_ac = np.where(
+            (apag[b, :] != 0)
+            & (apag[:, b] == 2)
+            & (apag[:, d] == 1)
+            & (apag[d, :] != 0)
+        )[0]
+        if len(ind_ac) < 2:
+            continue
+        if not unf:
+            for ci in range(len(ind_ac) - 1):
+                if apag[d, b] == 2:
+                    break
+                for ii in range(ci + 1, len(ind_ac)):
+                    if apag[d, b] == 2:
+                        break
+                    if (
+                        apag[ind_ac[ci], ind_ac[ii]] == 0
+                        and apag[ind_ac[ii], ind_ac[ci]] == 0
+                    ):
+                        apag[d, b] = 2
+        else:
+            # NB: the sequential rule orients when the triple is NOT
+            # ambiguous — the opposite of the reference's order-independent
+            # rule3 quirk (`rule3_order_indp`, RFCI_functions_final.R:64-67)
+            for a, c in combinations(ind_ac.tolist(), 2):
+                if apag[a, c] == 0 and apag[c, a] == 0 and c != a:
+                    if not _is_unf(unf, p, a, d, c):
+                        apag[d, b] = 2
+    return apag
+
+
+def rule4_seq(apag, unf, sepset):
+    for b, c in _colmajor_pairs((apag != 0) & (apag.T == 1)):
+        ind_a = list(
+            np.where(
+                (apag[b, :] == 2)
+                & (apag[:, b] != 0)
+                & (apag[c, :] == 3)
+                & (apag[:, c] == 2)
+            )[0]
+        )
+        while ind_a and apag[c, b] == 1:
+            a = int(ind_a.pop(0))
+            done = False
+            while (
+                not done
+                and apag[a, b] != 0
+                and apag[a, c] != 0
+                and apag[b, c] != 0
+            ):
+                md = min_discr_path(apag, a, b, c)
+                if md is None:
+                    done = True
+                else:
+                    first, last = md[0], md[-1]
+                    if b in sepset.get((first, last), set()) or b in sepset.get(
+                        (last, first), set()
+                    ):
+                        apag[b, c] = 2
+                        apag[c, b] = 3
+                    else:
+                        apag[a, b] = apag[b, c] = apag[c, b] = 2
+                    done = True
+    return apag
+
+
+def rule5_seq(apag, unf):
+    p = apag.shape[0]
+    for a, b in _colmajor_pairs((apag == 1) & (apag.T == 1)):
+        ind_c = np.where(
+            (apag[a, :] == 1) & (apag[:, a] == 1) & (apag[b, :] == 0) & (apag[:, b] == 0)
+        )[0]
+        ind_c = [int(c) for c in ind_c if c != b]
+        ind_d = np.where(
+            (apag[b, :] == 1) & (apag[:, b] == 1) & (apag[a, :] == 0) & (apag[:, a] == 0)
+        )[0]
+        ind_d = [int(d) for d in ind_d if d != a]
+        if not ind_c or not ind_d:
+            continue
+        for c in ind_c:
+            if apag[a, b] != 1:
+                break
+            for d in ind_d:
+                if apag[a, b] != 1:
+                    break
+                if apag[c, d] == 1 and apag[d, c] == 1:
+                    if faith_check([a, c, d, b], unf, p):
+                        apag[a, b] = apag[b, a] = 3
+                        apag[a, c] = apag[c, a] = 3
+                        apag[c, d] = apag[d, c] = 3
+                        apag[d, b] = apag[b, d] = 3
+                else:
+                    ucp = min_uncov_circ_path(p, apag, (a, c, d, b), unf)
+                    if ucp is not None and len(ucp) > 1:
+                        apag[ucp[0], ucp[-1]] = apag[ucp[-1], ucp[0]] = 3
+                        for j in range(len(ucp) - 1):
+                            apag[ucp[j], ucp[j + 1]] = apag[ucp[j + 1], ucp[j]] = 3
+    return apag
+
+
+def rule6_seq(apag, unf):
+    for b, c in _colmajor_pairs((apag != 0) & (apag.T == 1)):
+        if ((apag[b, :] == 3) & (apag[:, b] == 3)).any():
+            apag[c, b] = 3
+    return apag
+
+
+def rule7_seq(apag, unf):
+    p = apag.shape[0]
+    for b, c in _colmajor_pairs((apag != 0) & (apag.T == 1)):
+        ind_a = np.where(
+            (apag[b, :] == 3)
+            & (apag[:, b] == 1)
+            & (apag[c, :] == 0)
+            & (apag[:, c] == 0)
+        )[0]
+        ind_a = ind_a[ind_a != c]
+        if len(ind_a) == 0:
+            continue
+        if not unf:
+            apag[c, b] = 3
+        else:
+            for a in ind_a:
+                if not _is_unf(unf, p, a, b, c):
+                    apag[c, b] = 3
+    return apag
+
+
+def rule8_seq(apag, unf):
+    for a, c in _colmajor_pairs((apag == 2) & (apag.T == 1)):
+        cond = (
+            ((apag[a, :] == 2) & (apag[:, a] == 3))
+            | ((apag[a, :] == 1) & (apag[:, a] == 3))
+        ) & ((apag[c, :] == 3) & (apag[:, c] == 2))
+        if cond.any():
+            apag[c, a] = 3
+    return apag
+
+
+def rule9_seq(apag, unf):
+    p = apag.shape[0]
+    for a, c in _colmajor_pairs((apag == 2) & (apag.T == 1)):
+        ind_b = np.where(
+            ((apag[a, :] == 2) | (apag[a, :] == 1))
+            & ((apag[:, a] == 1) | (apag[:, a] == 3))
+            & (apag[c, :] == 0)
+            & (apag[:, c] == 0)
+        )[0]
+        ind_b = [int(x) for x in ind_b if x != c]
+        while ind_b and apag[c, a] == 1:
+            b = ind_b.pop(0)
+            upd = min_uncov_pd_path(p, apag, a, b, c, unf)
+            if upd is not None and len(upd) > 1:
+                apag[c, a] = 3
+    return apag
+
+
+def rule10_seq(apag, unf):
+    p = apag.shape[0]
+    for a, c in _colmajor_pairs((apag == 2) & (apag.T == 1)):
+        ind_b = [int(x) for x in np.where((apag[c, :] == 3) & (apag[:, c] == 2))[0]]
+        if len(ind_b) < 2:
+            continue
+        for b in ind_b:
+            if apag[c, a] != 1:
+                break
+            ind_d = [x for x in ind_b if x != b]
+            for d in ind_d:
+                if apag[c, a] != 1:
+                    break
+                if (
+                    apag[a, b] in (1, 2)
+                    and apag[b, a] in (1, 3)
+                    and apag[a, d] in (1, 2)
+                    and apag[d, a] in (1, 3)
+                    and apag[d, b] == 0
+                    and apag[b, d] == 0
+                ):
+                    if not _is_unf(unf, p, b, a, d):
+                        apag[c, a] = 3
+                else:
+                    ind_x = np.where(
+                        ((apag[a, :] == 1) | (apag[a, :] == 2))
+                        & ((apag[:, a] == 1) | (apag[:, a] == 3))
+                    )[0]
+                    ind_x = [int(x) for x in ind_x if x != c]
+                    # R: `if (length(indX >= 2))` — a length of the BOOLEAN
+                    # vector, i.e. any non-empty indX passes
+                    for p1 in ind_x:
+                        if apag[c, a] != 1:
+                            break
+                        for p2 in ind_x:
+                            if p2 == p1:
+                                continue
+                            if apag[c, a] != 1:
+                                break
+                            t1 = min_uncov_pd_path(p, apag, a, p1, b, unf)
+                            t2 = min_uncov_pd_path(p, apag, a, p2, d, unf)
+                            if (
+                                t1 is not None
+                                and len(t1) > 1
+                                and t2 is not None
+                                and len(t2) > 1
+                                and apag[p1, p2] == 0
+                            ):
+                                if not _is_unf(unf, p, p1, a, p2):
+                                    apag[c, a] = 3
+    return apag
+
+
+def udag2apag_sequential(
+    apag: np.ndarray,
+    sepset: dict,
+    rules: list[bool] | None = None,
+    unf: set | None = None,
+    verbose: bool = False,
+) -> np.ndarray:
+    """Apply R1-R10 to a fixpoint with SEQUENTIAL within-pass semantics
+    (`udag2apag`, `RFCI_functions_final.R:335-833`)."""
+    apag = np.asarray(apag, dtype=np.int32).copy()
+    unf = unf or set()
+    if rules is None:
+        rules = [True] * 10
+    fns = [
+        rule1_seq,
+        rule2_seq,
+        rule3_seq,
+        lambda g, u: rule4_seq(g, u, sepset),
+        rule5_seq,
+        rule6_seq,
+        rule7_seq,
+        rule8_seq,
+        rule9_seq,
+        rule10_seq,
+    ]
+    if not (apag != 0).any():
+        return apag
+    old = np.zeros_like(apag)
+    while (old != apag).any():
+        old = apag.copy()
+        for ix, (use, fn) in enumerate(zip(rules, fns)):
+            if use:
+                if verbose:
+                    print(f"Applying rule {ix + 1}")
+                apag = fn(apag, unf)
+    return apag
+
+
+# --------------------------------------------------------------------------
 # production driver (cusk2 mode)
 
 

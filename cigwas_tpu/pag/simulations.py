@@ -19,7 +19,7 @@ import numpy as np
 from scipy.stats import norm
 
 from cigwas_tpu.io.results import ReducedGCS
-from cigwas_tpu.pag.rfci import triple2numb, udag2apag
+from cigwas_tpu.pag.rfci import triple2numb, udag2apag_sequential
 
 
 def gauss_ci_pvalue(C, x, y, S, n) -> float:
@@ -177,7 +177,10 @@ def estimate_pag_simulations(
         for x, y, z in atr:
             unf.add(triple2numb(num_var, int(x) + 1, int(y) + 1, int(z) + 1))
 
-    Amat = udag2apag(A, sepset, unf=unf, verbose=verbose)
+    # the simulation R driver uses the SEQUENTIAL udag2apag
+    # (`CIGWAS_est_PAG_simulations.R:153` -> `RFCI_functions_final.R:335`),
+    # unlike production cusk2 which uses the order-independent fixpoint
+    Amat = udag2apag_sequential(A, sepset, unf=unf, verbose=verbose)
 
     if cfg["force_end"]:
         mt = Amat[:num_marker, num_marker:]

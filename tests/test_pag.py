@@ -226,3 +226,73 @@ def test_estimate_pag_simulations_modes(tmp_path):
     # mpu forces marker -> trait at the end
     out = estimate_pag_simulations(stem, n, 1e-3, mode="mpu")
     assert out[0, 1] == 2 and out[1, 0] == 3
+
+
+def test_udag2apag_sequential_diverges_from_order_independent():
+    """Pins the two rule engines' semantics where rule order changes the
+    output (`udag2apag` sequential, RFCI_functions_final.R:335 vs
+    `udag2apag_ci_gwas`, :286). Setup: a1 o-> b o-o c <-o a3 with a1,c and
+    a3,b non-adjacent. The sequential rule 1 orients b -> c from (a1, b)
+    first, which removes c's circle at b before (a3, c) is considered. The
+    snapshot engine matches both triples against the pass-start matrix, so
+    the second match hits the already-arrowheaded edge and its
+    conflicting-information arm yields b <-> c."""
+    from cigwas_tpu.pag.rfci import udag2apag_sequential
+
+    def build():
+        g = np.zeros((4, 4), dtype=np.int32)
+        g[0, 1], g[1, 0] = 2, 1  # a1 o-> b
+        g[1, 2] = g[2, 1] = 1    # b o-o c
+        g[3, 2], g[2, 3] = 2, 1  # a3 o-> c
+        return g
+
+    seq = udag2apag_sequential(build(), {}, rules=[True] + [False] * 9)
+    fix = udag2apag(build(), {}, rules=[True] + [False] * 9)
+    assert seq[1, 2] == 2 and seq[2, 1] == 3  # b -> c
+    assert fix[1, 2] == 2 and fix[2, 1] == 2  # b <-> c
+    assert not np.array_equal(seq, fix)
+
+
+def test_udag2apag_sequential_rule1_chain():
+    """A directed chain orients fully through the outer fixpoint, same as
+    the snapshot engine, when no within-pass conflicts exist."""
+    from cigwas_tpu.pag.rfci import udag2apag_sequential
+
+    g = np.zeros((4, 4), dtype=np.int32)
+    g[0, 1], g[1, 0] = 2, 3  # 0 -> 1
+    g[1, 2] = g[2, 1] = 1
+    g[2, 3] = g[3, 2] = 1
+    seq = udag2apag_sequential(g.copy(), {})
+    fix = udag2apag(g.copy(), {})
+    assert np.array_equal(seq, fix)
+    assert seq[1, 2] == 2 and seq[2, 1] == 3
+    assert seq[2, 3] == 2 and seq[3, 2] == 3
+
+
+def test_udag2apag_sequential_rule3_not_unf_quirk():
+    """The SEQUENTIAL rule 3 orients when the triple is NOT ambiguous; the
+    reference's order-independent rule3 has the opposite (quirk) condition
+    (`rule3_order_indp`, RFCI_functions_final.R:64-67) and so never fires
+    with an empty unfVect in conservative mode."""
+    from cigwas_tpu.pag.rfci import rule3_seq, rule3
+
+    def build():
+        # a o-> b <-o c, a o-o d o-o c, d o-* b  => rule 3 orients d *-> b
+        g = np.zeros((5, 5), dtype=np.int32)
+        a, b, c, d = 0, 1, 2, 3
+        g[a, b], g[b, a] = 2, 1
+        g[c, b], g[b, c] = 2, 1
+        g[a, d] = g[d, a] = 1
+        g[c, d] = g[d, c] = 1
+        g[d, b], g[b, d] = 1, 1
+        return g
+
+    unf_triple = {triple2numb(5, 0 + 1, 3 + 1, 2 + 1)}  # (a, d, c) ambiguous
+    seq = rule3_seq(build(), set())
+    assert seq[3, 1] == 2  # oriented with empty unf
+    seq_unf = rule3_seq(build(), unf_triple)
+    assert seq_unf[3, 1] == 1  # ambiguous triple blocks it
+    fix = rule3(build(), set())
+    assert fix[3, 1] == 1  # quirk: order-indp never orients on empty unf
+    fix_unf = rule3(build(), unf_triple)
+    assert fix_unf[3, 1] == 2  # quirk: only oriented when IS ambiguous
