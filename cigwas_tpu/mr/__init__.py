@@ -1,3 +1,19 @@
 from cigwas_tpu.mr.mvivw import run_mvivw, run_mvivw_filtered, mv_ivw_regression
+from cigwas_tpu.mr.competitors import (
+    gwas_associations,
+    mr_egger,
+    mr_ivw,
+    run_mr_benchmark,
+    run_pairwise_mr_analyses,
+)
 
-__all__ = ["run_mvivw", "run_mvivw_filtered", "mv_ivw_regression"]
+__all__ = [
+    "run_mvivw",
+    "run_mvivw_filtered",
+    "mv_ivw_regression",
+    "gwas_associations",
+    "mr_ivw",
+    "mr_egger",
+    "run_pairwise_mr_analyses",
+    "run_mr_benchmark",
+]
