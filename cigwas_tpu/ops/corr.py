@@ -484,6 +484,103 @@ def corr_panel_device(
     return _reorder_mask_panel(C_raw, jnp.asarray(idx), jnp.int32(v)), v
 
 
+# mm-block row tile of the large-panel builder (multiple of PANEL_ALIGN so
+# the assembled panel stays shape-bucketed)
+PANEL_ROW_TILE = 1024
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("n_chunks",))
+def _panel_mm_tile_update(C, rows_bytes, cols_bytes, t0, n_chunks: int):
+    """One (rt, m_pad) Kendall tile written into the device canvas at row t0."""
+    rt = rows_bytes.shape[0]
+    mc = cols_bytes.shape[0]
+    counts = _kendall_counts_block(rows_bytes, cols_bytes, n_chunks)
+    tile = _kendall_from_counts(counts, rt, mc)
+    return jax.lax.dynamic_update_slice(C, tile, (t0, 0))
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _panel_assemble(C, mp_corr, pp_corr, idx, v_valid):
+    """Write the marker-phen / phen-phen blocks, set the unit diagonal, and
+    reorder to [markers, traits, pad] with inert pads."""
+    m_pad, p = mp_corr.shape
+    C = jax.lax.dynamic_update_slice(C, mp_corr, (0, m_pad))
+    C = jax.lax.dynamic_update_slice(C, mp_corr.T, (m_pad, 0))
+    C = jax.lax.dynamic_update_slice(C, pp_corr, (m_pad, m_pad))
+    vp = C.shape[0]
+    C = jnp.where(jnp.eye(vp, dtype=bool), jnp.float32(1.0), C)
+    return _reorder_mask_panel(C, idx, v_valid)
+
+
+def corr_panel_device_tiled(
+    bed_bytes,
+    phen: np.ndarray,
+    marker_mean: np.ndarray,
+    marker_std: np.ndarray,
+    num_samples: int,
+    mp_corr: np.ndarray | None = None,
+    sample_chunk: int = DEFAULT_SAMPLE_CHUNK,
+    row_tile: int = PANEL_ROW_TILE,
+):
+    """Large-block correlation panel, built and LEFT on device; returns (C, v).
+
+    The scalable sibling of :func:`corr_panel_device`: the (m, m) Kendall
+    block is computed in `row_tile`-row stripes into a preallocated device
+    canvas — the TPU form of the reference's stripe sweep under a memory cap
+    (`corr_host.cu:208-420`) — so peak device memory is O(row_tile * m)
+    instead of O((3m)^2), and the packed panel NEVER crosses the host link
+    (on remote-attached TPUs the ~0.5 GB round trip of fetch-pack-reupload
+    costs more than the whole skeleton).
+
+    mp_corr: optional precomputed (m, p) marker-phen correlations (the cusk
+    pre-screen already has them, `pipelines/cusk.py`); computed here when
+    absent. Tile dispatches are queued without any intervening fetch, so the
+    remote dispatch latency is paid once.
+
+    Layout/alignment contract matches `corr_panel_device`: logical variables
+    [m markers, p traits] occupy indices < v, inert pads follow, and the
+    panel size is the smallest `row_tile` multiple >= m + p.
+    """
+    bed_bytes = np.asarray(bed_bytes, dtype=np.uint8)
+    phen = np.asarray(phen, dtype=np.float32)
+    m = bed_bytes.shape[0]
+    p = phen.shape[0]
+    v = m + p
+    vp = -(-v // row_tile) * row_tile
+    m_pad = vp - p
+    if mp_corr is None:
+        mp_corr = np.asarray(
+            marker_phen_corr(bed_bytes, phen, marker_mean, marker_std, num_samples)
+        )
+    bed_pad = _pad_rows(bed_bytes, m_pad, PAD_BYTE)
+    sample_chunk = min(sample_chunk, 4 * ((bed_pad.shape[1] + 31) // 32) * 32 * 4)
+    padded, n_chunks = _prep_bytes(bed_pad, num_samples, sample_chunk)
+    cols = jnp.asarray(padded)
+
+    C = jnp.zeros((vp, vp), jnp.float32)
+    t0 = 0
+    while t0 < m_pad:
+        rt = min(row_tile, m_pad - t0)
+        C = _panel_mm_tile_update(
+            C, jax.lax.slice(cols, (t0, 0), (t0 + rt, cols.shape[1])), cols,
+            jnp.int32(t0), n_chunks,
+        )
+        t0 += rt
+
+    mp_pad = np.zeros((m_pad, p), dtype=np.float32)
+    # NaN marker-phen corrs stay NaN: the level-0 screen keeps such edges,
+    # matching the fused `_panel_device` / host `pack_square_corr` paths
+    mp_pad[:m] = np.asarray(mp_corr, dtype=np.float32)
+    pp = phen_phen_corr(phen).astype(np.float32)
+    idx = np.concatenate(
+        [np.arange(m), np.arange(m_pad, m_pad + p), np.arange(m, m_pad)]
+    ).astype(np.int32)
+    C = _panel_assemble(
+        C, jnp.asarray(mp_pad), jnp.asarray(pp), jnp.asarray(idx), jnp.int32(v)
+    )
+    return C, v
+
+
 def banded_row_abs_sums(band: np.ndarray) -> np.ndarray:
     """Forward-band |corr| row sums used by LD blocking (`corr_host.cu:112-128`)."""
     return np.abs(band).sum(axis=1).astype(np.float32)

@@ -27,12 +27,10 @@ from cigwas_tpu.io.bed import check_path, check_prepped_bed_path, read_block_fro
 from cigwas_tpu.ops.corr import (
     banded_row_abs_sums,
     corr_panel_device,
-    kendall_npn_corr,
+    corr_panel_device_tiled,
     kendall_npn_corr_banded,
     marker_phen_corr_from_sums,
     marker_phen_sums_dispatch,
-    pack_square_corr,
-    phen_phen_corr,
 )
 from cigwas_tpu.skeleton import reduce_gcs, skeleton, subset_variables
 from cigwas_tpu.utils.stats import fisher_z, threshold_array
@@ -251,32 +249,43 @@ class CuskContext:
         outdir = self.outdir
         num_var = num_markers + num_phen
         engine = self.engine
+        # DEVICE-RESIDENT flow for every block size: the packed panel is
+        # built on device, consumed by the skeleton in place, and only the
+        # kept (k, k) submatrix is fetched for the reduction — pMax (which
+        # the pipeline never consumes) is skipped, so no O(v^2) array
+        # crosses the host link (on remote-attached TPUs the ~0.5 GB
+        # round trip of an 11k panel costs more than the skeleton itself)
         if engine is not None:
             # sharded panel (marker rows over the mesh) + sharded skeleton
             C_dev, v_panel = engine.corr_panel_device(
                 bedblock, phen.data, means, stds, num_individuals
             )
-            sq_corrs = np.asarray(C_dev)[:v_panel, :v_panel]
             res1 = skeleton(
-                sq_corrs, Th, max_level, verbose=verbose, C_dev=C_dev,
-                engine=engine,
+                C_dev, Th, max_level, verbose=verbose, C_dev=C_dev,
+                n_var=v_panel, engine=engine, want_pmax=False,
             )
         elif num_markers <= 4096:
-            # fused device panel: decode once, keep C on device for the
-            # skeleton
+            # fused single-dispatch panel: decode once
             C_dev, v_panel = corr_panel_device(
                 bedblock, phen.data, means, stds, num_individuals
             )
-            sq_corrs = np.asarray(C_dev)[:v_panel, :v_panel]
-            res1 = skeleton(sq_corrs, Th, max_level, verbose=verbose, C_dev=C_dev)
+            res1 = skeleton(
+                C_dev, Th, max_level, verbose=verbose, C_dev=C_dev,
+                n_var=v_panel, want_pmax=False,
+            )
         else:
-            mm_corr = kendall_npn_corr(bedblock, num_individuals)
-            pp_corr = phen_phen_corr(phen.data)
-            sq_corrs = pack_square_corr(mm_corr, mp_corr, pp_corr)
-            res1 = skeleton(sq_corrs, Th, max_level, verbose=verbose)
+            # stripe-built panel (`corr_host.cu:208-420` analogue)
+            C_dev, v_panel = corr_panel_device_tiled(
+                bedblock, phen.data, means, stds, num_individuals,
+                mp_corr=mp_corr,
+            )
+            res1 = skeleton(
+                C_dev, Th, max_level, verbose=verbose, C_dev=C_dev,
+                n_var=v_panel, want_pmax=False,
+            )
         keep = subset_variables(res1.G, num_var, num_markers, depth)
         gcs = reduce_gcs(
-            res1.G, sq_corrs, res1.sepset, keep, num_var, num_phen, max_level
+            res1.G, C_dev, res1.sepset, keep, num_var, num_phen, max_level
         )
 
         # stage 2 (`reduced_gcs_cusk`, `cli.cpp:62-87`): Skeleton re-screens

@@ -458,6 +458,7 @@ def skeleton(
     n_var: int | None = None,
     engine=None,
     stats: dict | None = None,
+    want_pmax: bool = True,
 ) -> SkeletonResult:
     """PC-stable skeleton over a dense correlation panel.
 
@@ -477,6 +478,12 @@ def skeleton(
     engine: a :class:`cigwas_tpu.parallel.sharded.ShardedEngine` runs every
     level kernel SPMD over its mesh (node tiles / row slabs sharded, panel
     replicated); results are byte-identical to the single-device path.
+
+    want_pmax=False skips every pMax computation and, when the panel lives
+    on device, the host fetch of C it would require (returning pmax=None).
+    The cusk pipeline never consumes pMax (the reference writes it only
+    from its test harness), and on remote-attached TPUs the ~0.5 GB panel
+    fetch of an 11k block costs more than a whole level.
     """
     if C_dev is None and isinstance(C, jax.Array):
         C_dev = C
@@ -516,31 +523,35 @@ def skeleton(
             pre_l1 = pcorr_ops.level1_dense_dispatch(
                 C_dev, G0_dev, float(np.tanh(float(th[1])))
             )
-        C = np.asarray(C, dtype=np.float32)
+        if want_pmax:
+            C = np.asarray(C, dtype=np.float32)
         G = np.asarray(G0_dev)
     elif C_dev is not None:
         # sharded flow: level 0 on the replicated panel, level 1 sharded in
         # the level loop below
         G0_dev = pcorr_ops.level0_screen(C_dev, jnp.float32(th[0]))
-        C = np.asarray(C, dtype=np.float32)
+        if want_pmax:
+            C = np.asarray(C, dtype=np.float32)
         G = np.asarray(G0_dev)
     else:
         C = np.asarray(C, dtype=np.float32)
         G = None
     n = C.shape[0]
     sepset = np.full((n, n, ML), -1, dtype=np.int32)
-    pmax = np.zeros((n, n), dtype=np.float32)
+    pmax = np.zeros((n, n), dtype=np.float32) if want_pmax else None
 
     # level 0: marginal screen, overwrites G
-    with np.errstate(invalid="ignore", divide="ignore"):
-        z0 = fisher_z(C)
+    if G is None or want_pmax:
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z0 = fisher_z(np.asarray(C, dtype=np.float32))
     if G is None:
         # reference deletes iff res < th (`cuPC-S.cu:466-477`), NaN keeps the edge
         G = ~(z0 < th[0])
         np.fill_diagonal(G, False)
-    deleted0 = ~G
-    np.fill_diagonal(deleted0, False)
-    pmax[deleted0] = z0[deleted0]
+    if pmax is not None:
+        deleted0 = ~G
+        np.fill_diagonal(deleted0, False)
+        pmax[deleted0] = z0[deleted0]
 
     if C_dev is None:
         C_dev = jnp.asarray(C)
@@ -567,7 +578,8 @@ def skeleton(
                 removed, (xs, ys, s_sel, rho_sel) = _run_level_dense1(C_dev, G, rho_th)
             sepset[xs, ys, 0] = s_sel
             sepset[xs, ys, 1:] = -1
-            pmax[xs, ys] = fisher_z(rho_sel)
+            if pmax is not None:
+                pmax[xs, ys] = fisher_z(rho_sel)
         elif l in LOCAL_LEVELS:
             removed, rho_min, sep_vars = _run_level_local(
                 C_dev, G.astype(np.int32), l, rho_th, verbose=verbose,
@@ -576,7 +588,8 @@ def skeleton(
             side = (rho_min < rho_th) & G
             xs, ys = np.nonzero(side)
             if len(xs):
-                pmax[xs, ys] = fisher_z(rho_min[xs, ys])
+                if pmax is not None:
+                    pmax[xs, ys] = fisher_z(rho_min[xs, ys])
                 sepset[xs, ys, l:] = -1
                 sepset[xs, ys, :l] = sep_vars[xs, ys]
         else:
@@ -588,7 +601,8 @@ def skeleton(
             side = (rho_min < rho_th) & G
             xs, ys = np.nonzero(side)
             if len(xs):
-                pmax[xs, ys] = fisher_z(rho_min[xs, ys])
+                if pmax is not None:
+                    pmax[xs, ys] = fisher_z(rho_min[xs, ys])
                 sepset[xs, ys, l:] = -1
                 prev_x, nbr_x = -1, None
                 for x, y in zip(xs, ys):  # xs ascending from np.nonzero
@@ -608,14 +622,16 @@ def skeleton(
     # pMax post-processing (`cuPC-S.cu:424-442`): retained edges get the
     # sentinel, deleted pairs the max of both sides (full-matrix ops — the
     # triu fancy-indexing form costs ~0.5s at n~2k)
-    mx = np.maximum(pmax, pmax.T)
-    pmax = np.where(G, np.float32(PMAX_RETAINED), mx)
-    np.fill_diagonal(pmax, 1.0)
+    if pmax is not None:
+        mx = np.maximum(pmax, pmax.T)
+        pmax = np.where(G, np.float32(PMAX_RETAINED), mx)
+        np.fill_diagonal(pmax, 1.0)
 
     if pad:
         G = G[:v_real, :v_real]
         sepset = sepset[:v_real, :v_real]
-        pmax = pmax[:v_real, :v_real]
+        if pmax is not None:
+            pmax = pmax[:v_real, :v_real]
     return SkeletonResult(
         G=G.astype(np.int32), sepset=sepset, pmax=pmax, final_level=final_level
     )

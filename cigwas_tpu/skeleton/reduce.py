@@ -57,9 +57,10 @@ def reduce_gcs(
     hardcodes `* 14`, `parent_set.cpp:108`); the output sepsets have stride
     ``max_level``.
     """
+    import jax
+
     keep = np.asarray(keep, dtype=np.int64)
     G = np.asarray(G).reshape(num_var, num_var)
-    C = np.asarray(C).reshape(num_var, num_var)
     S = np.asarray(S).reshape(num_var, num_var, -1)
     k = keep.size
 
@@ -67,7 +68,15 @@ def reduce_gcs(
     old_to_new[keep] = np.arange(k, dtype=np.int32)
 
     Gr = G[np.ix_(keep, keep)].astype(np.int32)
-    Cr = C[np.ix_(keep, keep)].astype(np.float32)
+    if isinstance(C, jax.Array):
+        # device panel (possibly pad-extended beyond num_var): gather the
+        # kept submatrix ON DEVICE and fetch only (k, k) — the full panel
+        # never crosses the host link
+        kd = jax.numpy.asarray(keep.astype(np.int32))
+        Cr = np.asarray(C[kd[:, None], kd[None, :]]).astype(np.float32)
+    else:
+        C = np.asarray(C).reshape(num_var, num_var)
+        Cr = C[np.ix_(keep, keep)].astype(np.float32)
 
     Ssub = S[np.ix_(keep, keep)][:, :, :max_level]  # (k, k, max_level)
     valid = (Ssub != -1) & np.isin(Ssub, keep)

@@ -149,3 +149,70 @@ def test_corr_panel_device_matches_separate_paths(geno):
     pad_block = fused_full[v:, :]
     assert np.all((pad_block == 0.0) | np.isclose(np.abs(pad_block), 1.0))
     assert np.all(fused_full[:v, v:] == 0.0)
+
+
+def test_corr_panel_device_tiled_matches_host_path():
+    """The stripe-built device panel equals the host kendall+pack path on
+    the logical variables, across tile-remainder shapes."""
+    from cigwas_tpu.io.bed import encode_bed_values
+    from cigwas_tpu.ops.corr import (
+        corr_panel_device_tiled,
+        kendall_npn_corr,
+        marker_phen_corr,
+        pack_square_corr,
+        phen_phen_corr,
+    )
+
+    rng = np.random.default_rng(8)
+    n, m, p = 700, 150, 3
+    maf = rng.uniform(0.1, 0.5, m)
+    G = (rng.random((m, n)) < maf[:, None]).astype(np.float32) + (
+        rng.random((m, n)) < maf[:, None]
+    )
+    G[7] = 0.0  # monomorphic -> NaN corr preserved
+    Y = rng.normal(size=(p, n)).astype(np.float32)
+    Y = (Y - Y.mean(1, keepdims=True)) / Y.std(1, keepdims=True)
+    bb = encode_bed_values(G)
+    means, stds = G.mean(axis=1), G.std(axis=1)
+
+    C_dev, v = corr_panel_device_tiled(
+        bb, Y, means, stds, n, row_tile=64
+    )
+    assert v == m + p
+    assert C_dev.shape[0] % 64 == 0 and C_dev.shape[0] >= v
+    got = np.asarray(C_dev)
+
+    mm = kendall_npn_corr(bb, n)
+    mp = np.asarray(marker_phen_corr(bb, Y, means, stds, n))
+    pp = phen_phen_corr(Y)
+    exp = pack_square_corr(mm, mp, pp)
+    np.testing.assert_allclose(got[:v, :v], exp, rtol=0, atol=2e-6)
+    # NaN pattern preserved for the monomorphic marker
+    assert np.isnan(exp[7, 8]) == np.isnan(got[7, 8])
+    # pads inert: zero off-diagonal, unit diagonal
+    vp = got.shape[0]
+    assert np.all(got[v:, :v] == 0) and np.all(got[:v, v:] == 0)
+    assert np.all(np.diag(got)[v:] == 1.0)
+
+
+def test_corr_panel_device_tiled_matches_fused_panel():
+    """Tiled builder == the fused single-dispatch builder where both apply."""
+    from cigwas_tpu.io.bed import encode_bed_values
+    from cigwas_tpu.ops.corr import corr_panel_device, corr_panel_device_tiled
+
+    rng = np.random.default_rng(9)
+    n, m, p = 512, 120, 8
+    maf = rng.uniform(0.1, 0.5, m)
+    G = (rng.random((m, n)) < maf[:, None]).astype(np.float32) + (
+        rng.random((m, n)) < maf[:, None]
+    )
+    Y = rng.normal(size=(p, n)).astype(np.float32)
+    bb = encode_bed_values(G)
+    means, stds = G.mean(axis=1), G.std(axis=1)
+    C_f, v_f = corr_panel_device(bb, Y, means, stds, n)
+    C_t, v_t = corr_panel_device_tiled(bb, Y, means, stds, n, row_tile=128)
+    assert v_f == v_t
+    np.testing.assert_allclose(
+        np.asarray(C_f)[:v_f, :v_f], np.asarray(C_t)[:v_t, :v_t],
+        rtol=0, atol=2e-6,
+    )
