@@ -47,8 +47,10 @@ DEFAULT_CHUNK = 512
 # dwarfs the ~sum(deg^2) neighbour-list enumeration, so level 1 goes through
 # the same degree-bucketed path as levels >= 2 (identical tests and
 # tie-breaking: the dense argmin and the lowest colex rank both prefer the
-# smallest conditioning index)
-DENSE_L1_MAX = 5000
+# smallest conditioning index). Measured on the v5e at the reference-default
+# 11k block: dense sweep 6.5s vs 44s for the launch-bound neighbour-list
+# path, so the gate sits above the largest supported --max-block-size
+DENSE_L1_MAX = 16384
 # max chunks fused into one device dispatch
 MAX_CHUNKS_PER_LAUNCH = 256
 # cap on (nodes x combos x neighbours x l) elements live per kernel call
