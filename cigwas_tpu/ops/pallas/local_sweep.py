@@ -27,11 +27,12 @@ ascending, and the per-row argmin takes the first occurrence (lowest lane
 index attaining the row minimum) — together the LOWEST COLEX RANK among
 exact ties.
 
-Layout notes (TPU): tensors keep y on sublanes and s on lanes; per-step
-columns come from lane-dimension ref slices (`C_ref[:, pl.ds(t, 1)]` is
-(d, 1)), so no transposes occur inside the loops (Mosaic cannot slice
-VALUES dynamically — all dynamic indexing goes through VMEM refs). Outputs
-are written as (d, 1) column blocks and squeezed by the wrapper.
+Layout notes (TPU): tensors keep y on sublanes and s on lanes. Mosaic can
+dynamic-slice refs only on the sublane dimension, so per-step ROWS are ref
+slices (`C_ref[pl.ds(t, 1), :]`) while COLUMNS are masked lane reductions
+(`where(lane == t, C, 0).sum(axis=1)` — exactly one surviving term, bitwise
+exact, and inf-safe where a one-hot multiply is not). Outputs are written
+as (d, 1) column blocks and squeezed by the wrapper.
 """
 
 from __future__ import annotations
@@ -62,6 +63,7 @@ def _pair_min(C_ref, R_ref, qr_ref, qc_ref, deg_x, t_hi, y_excl, d, carry0):
     """
     y_col = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0)
     s_row = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, d), 1)
     Cb = C_ref[:, :]
     q_row = qr_ref[:, :]
     q_col = qc_ref[:, :]
@@ -70,9 +72,14 @@ def _pair_min(C_ref, R_ref, qr_ref, qc_ref, deg_x, t_hi, y_excl, d, carry0):
         rho_b, t_b, s_b = carry
         ct_row = C_ref[pl.ds(t, 1), :]  # (1, d)
         rt_row = R_ref[pl.ds(t, 1), :]
-        ct_col = C_ref[:, pl.ds(t, 1)]  # (d, 1)
-        rt_col = R_ref[:, pl.ds(t, 1)]
-        qt = qr_ref[:, pl.ds(t, 1)]  # (1, 1)
+        # column t as (d, 1): Mosaic cannot dynamic-slice the lane dim, so
+        # select it with a masked lane reduction — `where`, not a one-hot
+        # multiply, because R's diagonal is inf and inf * 0 = NaN; the sum
+        # has exactly one surviving term, so the selection is bitwise exact
+        sel = lane == t  # (1, d)
+        ct_col = jnp.sum(jnp.where(sel, Cb, 0.0), axis=1, keepdims=True)
+        rt_col = jnp.sum(jnp.where(sel, R_ref[:, :], 0.0), axis=1, keepdims=True)
+        qt = jnp.sum(jnp.where(sel, q_row, 0.0), axis=1, keepdims=True)  # (1, 1)
         rqt = _rsq(qt)
         # pcorr(x, s | B u {t}) in s-lane and y-sublane layouts (identical
         # arithmetic, so exact ties between the two reads are preserved)
@@ -144,12 +151,15 @@ def _make_kernel3(d: int):
         t_s[:, :] = jnp.zeros((d, 1), jnp.int32)
         s_s[:, :] = jnp.zeros((d, 1), jnp.int32)
 
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, d), 1)
+
         def u_step(u, _):
             cu_row = cs[pl.ds(u, 1), :]
             ru_row = rs[pl.ds(u, 1), :]
-            cu_col = cs[:, pl.ds(u, 1)]
-            ru_col = rs[:, pl.ds(u, 1)]
-            qu = qrs[:, pl.ds(u, 1)]
+            sel_u = lane == u  # masked select; see _pair_min
+            cu_col = jnp.sum(jnp.where(sel_u, cs[:, :], 0.0), axis=1, keepdims=True)
+            ru_col = jnp.sum(jnp.where(sel_u, rs[:, :], 0.0), axis=1, keepdims=True)
+            qu = jnp.sum(jnp.where(sel_u, qrs[:, :], 0.0), axis=1, keepdims=True)
             rqu = _rsq(qu)
             c1s[:, :] = (cs[:, :] - cu_col * cu_row) * (ru_col * ru_row)
             r1s[:, :] = _rsq(c1s[:, :])

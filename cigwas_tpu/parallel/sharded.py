@@ -484,6 +484,90 @@ def make_panel_sharded(mesh: Mesh, axis: str):
 
 
 # ---------------------------------------------------------------------------
+# genome-wide banded correlations (the `block` stage) over the mesh
+# ---------------------------------------------------------------------------
+
+
+def _banded_body(bytes_loc, width: int, n_chunks: int, m_real: int,
+                 axis: str, ndev: int):
+    """Per-shard banded Kendall band (mloc, width) with a ring boundary pass.
+
+    Each shard computes the band rows it owns; the conditioning columns past
+    its last row come from the NEXT shard's leading `width` genotype rows,
+    exchanged with one `ppermute` (SURVEY §2.4 row 5's ring analogue of the
+    reference's streamed stripe pairs, `corr_host.cu:1199-1319`).
+    """
+    from cigwas_tpu.ops.corr import _kendall_counts_block
+
+    mloc, B = bytes_loc.shape
+    idx = jax.lax.axis_index(axis)
+    head = jax.lax.slice(bytes_loc, (0, 0), (width, B))
+    recv = jax.lax.ppermute(
+        head, axis, [(i, (i - 1) % ndev) for i in range(ndev)]
+    )
+    cols = jnp.concatenate([bytes_loc, recv], axis=0)  # (mloc + width, B)
+    counts = _kendall_counts_block(bytes_loc, cols, n_chunks)
+    corr = _kendall_from_counts(counts, mloc, mloc + width)
+    r_ix = jnp.arange(mloc)[:, None]
+    j_ix = jnp.arange(width)[None, :]
+    band = jnp.take_along_axis(corr, r_ix + 1 + j_ix, axis=1)
+    gcol = idx * mloc + r_ix + 1 + j_ix
+    return jnp.where((gcol >= m_real) | ~jnp.isfinite(band), 0.0, band)
+
+
+def make_banded_corr_sharded(mesh: Mesh, axis: str):
+    """Sharded `kendall_npn_corr_banded`: chromosome marker rows split over
+    `axis` with neighbour boundary-row exchange.
+
+    Byte-identity contract: per-shard compute shapes equal the single-device
+    path's when its `row_tile` equals the shard length (the same
+    equal-shapes rule as the local sweeps); counts are exact integers, so
+    the band is deterministic either way up to the elementwise tau epilogue.
+    """
+    from cigwas_tpu.ops.corr import DEFAULT_SAMPLE_CHUNK, _pad_rows, _prep_bytes
+    from cigwas_tpu.ops.decode import PAD_BYTE
+
+    ndev = mesh_axis_size(mesh, axis)
+    cache = {}
+
+    def run(bed_bytes, num_samples: int, corr_width: int,
+            sample_chunk: int = DEFAULT_SAMPLE_CHUNK) -> np.ndarray:
+        bed_bytes = np.asarray(bed_bytes, dtype=np.uint8)
+        m = bed_bytes.shape[0]
+        m_pad = -(-m // ndev) * ndev
+        mloc = m_pad // ndev
+        if mloc < corr_width:
+            raise ValueError(
+                f"{ndev}-way sharding leaves {mloc} rows/shard < corr_width "
+                f"{corr_width}; use fewer devices or the single-device path"
+            )
+        bed_pad = _pad_rows(bed_bytes, m_pad, PAD_BYTE)
+        sample_chunk = min(
+            sample_chunk, 4 * ((bed_pad.shape[1] + 31) // 32) * 32 * 4
+        )
+        padded, n_chunks = _prep_bytes(bed_pad, num_samples, sample_chunk)
+        key = (padded.shape, n_chunks, corr_width, m)
+        fn = cache.get(key)
+        if fn is None:
+            fn = jax.jit(
+                _shard_map(
+                    partial(
+                        _banded_body, width=corr_width, n_chunks=n_chunks,
+                        m_real=m, axis=axis, ndev=ndev,
+                    ),
+                    mesh,
+                    in_specs=(P(axis, None),),
+                    out_specs=P(axis, None),
+                )
+            )
+            cache[key] = fn
+        band = np.asarray(fn(jnp.asarray(padded)))
+        return band[:m]
+
+    return run
+
+
+# ---------------------------------------------------------------------------
 # engine handle
 # ---------------------------------------------------------------------------
 
@@ -505,6 +589,7 @@ class ShardedEngine:
         self.level1_dense_minrho = make_level1_sharded(mesh, axis)
         self.hetcor1_dense_margin = make_hetcor1_sharded(mesh, axis)
         self.corr_panel_device = make_panel_sharded(mesh, axis)
+        self.kendall_npn_corr_banded = make_banded_corr_sharded(mesh, axis)
 
     @classmethod
     def flat(cls, devices=None, axis: str = "marker") -> "ShardedEngine":

@@ -42,16 +42,25 @@ def make_blocks(
     corr_width: int,
     out_path: str | None = None,
     verbose: bool = True,
+    mesh=None,
 ) -> list:
     """Partition every chromosome into LD blocks (`make_blocks`, `cli.cpp:362-411`).
 
     The reference takes a device-mem budget to size its streaming batches;
-    the TPU path tiles internally, so no budget parameter is needed.
+    the TPU path tiles internally, so no budget parameter is needed. With a
+    `mesh`, the banded correlation shards chromosome rows over the mesh with
+    a ring boundary exchange (`parallel.sharded.make_banded_corr_sharded`).
     """
     bfiles = BfilesBase(bed_base_path)
     dims = BedDims.from_bfiles(bfiles)
     bim = BimInfo(bfiles.bim())
     out_path = out_path or bfiles.blocks(max_block_size)
+
+    banded = kendall_npn_corr_banded
+    if mesh is not None:
+        from cigwas_tpu.parallel.sharded import make_banded_corr_sharded
+
+        banded = make_banded_corr_sharded(mesh, mesh.axis_names[0])
 
     all_blocks = []
     for cid in bim.chr_ids:
@@ -60,7 +69,7 @@ def make_blocks(
         chr_bed = read_chr_from_bed(bfiles.bed(), cid, bim, dims)
         if verbose:
             print(f"[chr {cid}] computing banded correlations")
-        band = kendall_npn_corr_banded(chr_bed, dims.num_samples, corr_width)
+        band = banded(chr_bed, dims.num_samples, corr_width)
         row_sums = banded_row_abs_sums(band)
         blocks = block_chr(row_sums, cid, max_block_size)
         if verbose:

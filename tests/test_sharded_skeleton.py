@@ -148,3 +148,54 @@ def test_sharded_hetcor_matches_plain(n10_fixture):
     )
     assert np.array_equal(plain.G, shard.G)
     assert np.array_equal(shard.G, A)
+
+
+@pytest.mark.parametrize("m", [384, 370])
+def test_sharded_banded_corr_byte_identical(m):
+    """The mesh-sharded banded `block`-stage correlation (marker rows split
+    over devices, leading rows exchanged with a ring ppermute) equals the
+    single-device tiled path bit-for-bit when the single-device row tile
+    matches the shard length (SURVEY §2.4 row 5; the multi-device form of
+    `corr_host.cu:1199-1319`)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from cigwas_tpu.io.bed import encode_bed_values
+    from cigwas_tpu.ops.corr import kendall_npn_corr_banded
+
+    rng = np.random.default_rng(m)
+    n, width = 600, 16
+    maf = rng.uniform(0.1, 0.5, m)
+    G = (rng.random((m, n)) < maf[:, None]).astype(np.float32) + (
+        rng.random((m, n)) < maf[:, None]
+    )
+    G[5] = 0.0  # monomorphic row -> NaN band entries must zero identically
+    bb = encode_bed_values(G)
+
+    ndev = 8
+    mloc = -(-m // ndev)
+    ref = kendall_npn_corr_banded(bb, n, width, row_tile=mloc)
+
+    mesh = Mesh(np.array(jax.devices()), ("marker",))
+    from cigwas_tpu.parallel.sharded import ShardedEngine
+
+    eng = ShardedEngine(mesh, "marker")
+    got = eng.kendall_npn_corr_banded(bb, n, width)
+    assert got.shape == ref.shape
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_sharded_banded_corr_rejects_thin_shards():
+    import jax
+    from jax.sharding import Mesh
+
+    from cigwas_tpu.io.bed import encode_bed_values
+    from cigwas_tpu.parallel.sharded import ShardedEngine
+
+    rng = np.random.default_rng(0)
+    G = (rng.random((40, 200)) < 0.3).astype(np.float32)
+    bb = encode_bed_values(G)
+    mesh = Mesh(np.array(jax.devices()), ("marker",))
+    eng = ShardedEngine(mesh, "marker")
+    with pytest.raises(ValueError, match="corr_width"):
+        eng.kendall_npn_corr_banded(bb, 200, 16)
