@@ -194,11 +194,17 @@ def level_scan_minrho(C, node_ixs, nbrs, deg, combos_seq, left_seq, l: int):
     caller adds the launch's global offset with exact Python integers, so
     colex ranks beyond 2^31 cannot overflow on device.
     """
-    nt, d = nbrs.shape
-    nch, K, _ = combos_seq.shape
     # the only gathers of the level: per-node local panels, once per launch
     C_x = C[nbrs[:, :, None], nbrs[:, None, :]]  # (nt, d, d)
     c_row = C[node_ixs[:, None], nbrs]  # (nt, d)
+    return level_scan_minrho_pre(C_x, c_row, deg, combos_seq, left_seq, l)
+
+
+def level_scan_minrho_pre(C_x, c_row, deg, combos_seq, left_seq, l: int):
+    """`level_scan_minrho` on PRE-GATHERED local panels (the row-sharded
+    engine builds them with a ring pass over the panel shards)."""
+    nt, d = c_row.shape
+    nch, K, _ = combos_seq.shape
 
     def chunk_step(carry, inp):
         rho_min, rank, ci = carry
@@ -331,7 +337,13 @@ def level2_local_sweep(C, node_ixs, nbrs, deg, ct: int):
     """
     C_x = C[nbrs[:, :, None], nbrs[:, None, :]]  # (nt, d, d)
     c_row = C[node_ixs[:, None], nbrs]  # (nt, d)
-    d = nbrs.shape[1]
+    return level2_local_sweep_pre(C_x, c_row, deg, ct=ct)
+
+
+@partial(jax.jit, static_argnames=("ct",))
+def level2_local_sweep_pre(C_x, c_row, deg, ct: int):
+    """`level2_local_sweep` on pre-gathered (nt, d, d) local panels."""
+    d = c_row.shape[1]
 
     def per_node(Cb, qb, deg_x):
         rho, t_pos, s_pos = _pair_sweep(
@@ -356,7 +368,13 @@ def level3_local_sweep(C, node_ixs, nbrs, deg, ct: int):
     """
     C_x = C[nbrs[:, :, None], nbrs[:, None, :]]
     c_row = C[node_ixs[:, None], nbrs]
-    d = nbrs.shape[1]
+    return level3_local_sweep_pre(C_x, c_row, deg, ct=ct)
+
+
+@partial(jax.jit, static_argnames=("ct",))
+def level3_local_sweep_pre(C_x, c_row, deg, ct: int):
+    """`level3_local_sweep` on pre-gathered (nt, d, d) local panels."""
+    d = c_row.shape[1]
 
     def per_node(Cb, qb, deg_x):
         def outer(u, carry):

@@ -484,6 +484,312 @@ def make_panel_sharded(mesh: Mesh, axis: str):
 
 
 # ---------------------------------------------------------------------------
+# row-sharded (non-replicated) panel: ring gather + level kernels
+# ---------------------------------------------------------------------------
+#
+# The replicated engine bounds per-block size by one chip's HBM (the whole
+# (vp, vp) panel lives on every device). The row-sharded mode keeps the
+# panel split over the mesh — each device owns (vp/D, vp) rows — and every
+# level kernel consumes it through ONE primitive: a ring pass that rotates
+# the panel shards around the mesh while each device extracts the (nt, d, d)
+# local neighbour panels of the nodes it owns. Peak panel bytes per device
+# are 2 shards (own + in-flight) + the local panels: the TPU analogue of the
+# reference's stripe sweep under a device-memory cap
+# (`corr_host.cu:208-420`).
+
+
+def _ring_local_panels(C_loc, node_ixs, nbrs, axis: str, ndev: int):
+    """(Cb (nt, d, d), qb (nt, d)) local panels from a row-sharded C.
+
+    C_loc: (L, vp) this device's panel rows [me*L, (me+1)*L); node_ixs /
+    nbrs: this device's node tile (GLOBAL variable indices). D ring steps;
+    at step k the device holds shard (me + k) % D and copies the rows of it
+    that its nodes reference. Selection is exact (where-masked), so the
+    gathered panels are bitwise equal to a replicated gather.
+    """
+    L = C_loc.shape[0]
+    me = jax.lax.axis_index(axis)
+    nt, d = nbrs.shape
+    Cb0 = jnp.zeros((nt, d, d), jnp.float32)
+    qb0 = jnp.zeros((nt, d), jnp.float32)
+
+    def step(k, carry):
+        Cb, qb, shard = carry
+        src = (me + k) % ndev
+        r0 = src * L
+        loc = nbrs - r0  # (nt, d)
+        inside = (loc >= 0) & (loc < L)
+        rows = shard[jnp.clip(loc, 0, L - 1)[:, :, None],
+                     nbrs[:, None, :]]  # (nt, d, d)
+        Cb = jnp.where(inside[:, :, None], rows, Cb)
+        xloc = node_ixs - r0
+        x_in = (xloc >= 0) & (xloc < L)
+        xrows = shard[jnp.clip(xloc, 0, L - 1)[:, None], nbrs]  # (nt, d)
+        qb = jnp.where(x_in[:, None], xrows, qb)
+        shard = jax.lax.ppermute(
+            shard, axis, [(i, (i - 1) % ndev) for i in range(ndev)]
+        )
+        return Cb, qb, shard
+
+    Cb, qb, _ = jax.lax.fori_loop(0, ndev, step, (Cb0, qb0, C_loc))
+    return Cb, qb
+
+
+def make_level_local_rowsharded(mesh: Mesh, axis: str, l: int):
+    """Row-sharded dense local-panel sweep (levels 2/3): the node tile AND
+    the panel rows are sharded over `axis`; local panels come from the ring
+    pass. Same contract as `level2/3_local_sweep`."""
+    base = {
+        2: pcorr_ops.level2_local_sweep_pre,
+        3: pcorr_ops.level3_local_sweep_pre,
+    }[l]
+    ndev = mesh_axis_size(mesh, axis)
+    cache = {}
+
+    def body(C_loc, node_ixs, nbrs, deg, ct: int):
+        Cb, qb = _ring_local_panels(C_loc, node_ixs, nbrs, axis, ndev)
+        return base(Cb, qb, deg, ct=ct)
+
+    def run(C, node_ixs, nbrs, deg, ct: int):
+        fn = cache.get(ct)
+        if fn is None:
+            fn = jax.jit(
+                _shard_map(
+                    partial(body, ct=ct),
+                    mesh,
+                    in_specs=(P(axis, None), P(axis), P(axis, None), P(axis)),
+                    out_specs=(P(axis, None), P(axis, None, None)),
+                )
+            )
+            cache[ct] = fn
+        return fn(C, node_ixs, nbrs, deg)
+
+    return run
+
+
+def make_level_scan_rowsharded(mesh: Mesh, axis: str):
+    """Row-sharded `level_scan_minrho` (levels >= 4): ring-gathered local
+    panels feed the combinatorial chunk scan."""
+    ndev = mesh_axis_size(mesh, axis)
+    cache = {}
+
+    def body(C_loc, node_ixs, nbrs, deg, combos_seq, left_seq, l: int):
+        Cb, qb = _ring_local_panels(C_loc, node_ixs, nbrs, axis, ndev)
+        return pcorr_ops.level_scan_minrho_pre(
+            Cb, qb, deg, combos_seq, left_seq, l
+        )
+
+    def run(C, node_ixs, nbrs, deg, combos_seq, left_seq, l: int):
+        fn = cache.get(l)
+        if fn is None:
+            fn = jax.jit(
+                _shard_map(
+                    partial(body, l=l),
+                    mesh,
+                    in_specs=(
+                        P(axis, None), P(axis), P(axis, None), P(axis),
+                        P(None, None, None), P(None, axis),
+                    ),
+                    out_specs=(P(axis, None), P(axis, None)),
+                )
+            )
+            cache[l] = fn
+        return fn(C, node_ixs, nbrs, deg, combos_seq, left_seq)
+
+    return run
+
+
+def _dense1_ring_body(C_loc, G_loc, axis: str, ndev: int):
+    """Row-sharded dense level-1 sweep: x rows local, y rows via the ring.
+
+    For each local x row and every (y, s): rho = |c_xy R_xs R_ys - P_xs
+    P_ys| with the y-row R/P factors arriving shard by shard. Matches
+    `pcorr._level1_dense_padded`'s tests and smallest-s tie-break.
+    """
+    L, vp = C_loc.shape
+    me = jax.lax.axis_index(axis)
+    R_loc = jax.lax.rsqrt(jnp.abs(1.0 - C_loc * C_loc))
+    P_loc = C_loc * R_loc
+    s_ix = jnp.arange(vp)
+    x_ix0 = me * L + jnp.arange(L)
+
+    def step(k, carry):
+        rho_all, s_all, shard_R, shard_P = carry
+        src = (me + k) % ndev
+        y0 = src * L
+        # (L x, L y, vp s) cube for this y shard
+        cxy = jax.lax.dynamic_slice(C_loc, (0, y0), (L, L))  # C[x, y]
+        rho = jnp.abs(
+            cxy[:, :, None] * (R_loc[:, None, :] * shard_R[None, :, :])
+            - P_loc[:, None, :] * shard_P[None, :, :]
+        )
+        y_ix = y0 + jnp.arange(L)
+        bad = (
+            (s_ix[None, None, :] == x_ix0[:, None, None])
+            | (s_ix[None, None, :] == y_ix[None, :, None])
+            | ~(G_loc[:, None, :] > 0)
+        )
+        rho = jnp.where(bad | ~jnp.isfinite(rho), pcorr_ops.RHO_BIG, rho)
+        rmin = jnp.min(rho, axis=2)
+        smin = jnp.argmin(rho, axis=2).astype(jnp.int32)
+        rho_all = jax.lax.dynamic_update_slice(rho_all, rmin, (0, y0))
+        s_all = jax.lax.dynamic_update_slice(s_all, smin, (0, y0))
+        perm = [(i, (i - 1) % ndev) for i in range(ndev)]
+        return (
+            rho_all, s_all,
+            jax.lax.ppermute(shard_R, axis, perm),
+            jax.lax.ppermute(shard_P, axis, perm),
+        )
+
+    init = (
+        jnp.full((L, vp), pcorr_ops.RHO_BIG, jnp.float32),
+        jnp.zeros((L, vp), jnp.int32),
+        R_loc,
+        P_loc,
+    )
+    rho_all, s_all, _, _ = jax.lax.fori_loop(0, ndev, step, init)
+    return rho_all, s_all
+
+
+def make_level1_rowsharded(mesh: Mesh, axis: str):
+    ndev = mesh_axis_size(mesh, axis)
+    cache = {}
+
+    def run(C, Gb):
+        fn = cache.get("f")
+        if fn is None:
+            fn = jax.jit(
+                _shard_map(
+                    partial(_dense1_ring_body, axis=axis, ndev=ndev),
+                    mesh,
+                    in_specs=(P(axis, None), P(axis, None)),
+                    out_specs=(P(axis, None), P(axis, None)),
+                )
+            )
+            cache["f"] = fn
+        return fn(C, jnp.asarray(np.asarray(Gb).astype(np.int8)))
+
+    return run
+
+
+def make_panel_rowsharded(mesh: Mesh, axis: str):
+    """Row-sharded correlation panel: each device computes and KEEPS only
+    its (vp/D, vp) row stripe (layout [markers, traits, pads] like
+    `corr_panel_device`); returns (C row-sharded, v)."""
+    from cigwas_tpu.ops.corr import (
+        DEFAULT_SAMPLE_CHUNK, _pad_rows, _prep_bytes, marker_phen_corr,
+        phen_phen_corr,
+    )
+    from cigwas_tpu.ops.decode import PAD_BYTE
+
+    ndev = mesh_axis_size(mesh, axis)
+    cache = {}
+
+    def run(bed_bytes, phen, marker_mean, marker_std, num_samples,
+            sample_chunk: int = DEFAULT_SAMPLE_CHUNK):
+        bed_bytes = np.asarray(bed_bytes, dtype=np.uint8)
+        phen = np.asarray(phen, dtype=np.float32)
+        m = bed_bytes.shape[0]
+        p = phen.shape[0]
+        v = m + p
+        vp = -(-v // (128 * ndev)) * (128 * ndev)
+        m_pad = vp - p
+        mp_corr = np.asarray(
+            marker_phen_corr(bed_bytes, phen, marker_mean, marker_std,
+                             num_samples)
+        )  # NaN entries preserved (level-0 keeps NaN edges)
+        bed_pad = _pad_rows(bed_bytes, m_pad, PAD_BYTE)
+        sample_chunk = min(
+            sample_chunk, 4 * ((bed_pad.shape[1] + 31) // 32) * 32 * 4
+        )
+        padded, n_chunks = _prep_bytes(bed_pad, num_samples, sample_chunk)
+        pp = phen_phen_corr(phen).astype(np.float32)
+
+        # panel row r (final layout) -> bed row: r for markers, r - p for
+        # pads; trait rows overwritten from trait_full afterwards
+        bed_row_of = np.concatenate(
+            [np.arange(m), np.zeros(p, np.int64), np.arange(m, m_pad)]
+        )
+        row_bytes = padded[bed_row_of]  # (vp, B) host gather of byte rows
+        is_trait = np.zeros(vp, bool)
+        is_trait[m : m + p] = True
+        trait_of = np.zeros(vp, np.int64)
+        trait_of[m : m + p] = np.arange(p)
+
+        # trait rows in final layout: [mp.T markers | pp | zeros pads]
+        trait_full = np.zeros((p, vp), np.float32)
+        trait_full[:, :m] = np.asarray(mp_corr, np.float32).T
+        trait_full[:, m : m + p] = pp
+
+        key = (padded.shape, n_chunks, vp)
+        fn = cache.get(key)
+        if fn is None:
+            fn = jax.jit(
+                _shard_map(
+                    partial(
+                        _panel_rowsharded_body, n_chunks=n_chunks, m=m, p=p,
+                        m_pad=m_pad, axis=axis, ndev=ndev,
+                    ),
+                    mesh,
+                    in_specs=(
+                        P(axis, None),  # this shard's byte rows
+                        P(None, None),  # all byte rows (for columns)
+                        P(axis),        # is_trait
+                        P(axis),        # trait_of
+                        P(None, None),  # trait_full
+                    ),
+                    out_specs=P(axis, None),
+                )
+            )
+            cache[key] = fn
+        C = fn(
+            jnp.asarray(row_bytes), jnp.asarray(padded),
+            jnp.asarray(is_trait), jnp.asarray(trait_of.astype(np.int32)),
+            jnp.asarray(trait_full),
+        )
+        return C, v
+
+    return run
+
+
+def _panel_rowsharded_body(row_bytes, bed_all, is_trait, trait_of,
+                           trait_full, n_chunks: int, m: int, p: int,
+                           m_pad: int, axis: str, ndev: int):
+    """One (vp/D, vp) stripe of the final-layout panel.
+
+    Kendall rows vs ALL bed rows give the marker/pad columns; trait columns
+    come from the precomputed trait_full rows (transposed into place);
+    trait ROWS replace their kendall junk row entirely.
+    """
+    from cigwas_tpu.ops.corr import _kendall_counts_block
+
+    L = row_bytes.shape[0]
+    me = jax.lax.axis_index(axis)
+    counts = _kendall_counts_block(row_bytes, bed_all, n_chunks)
+    k_all = _kendall_from_counts(counts, L, bed_all.shape[0])  # (L, m_pad)
+    # final column layout: [markers 0:m | traits m:m+p | pads m+p:vp]
+    stripe = jnp.concatenate(
+        [k_all[:, :m], jnp.zeros((L, p), jnp.float32), k_all[:, m:]],
+        axis=1,
+    )  # (L, vp); the trait-column placeholder is filled just below
+    vp = stripe.shape[1]
+    g_row = me * L + jnp.arange(L)
+    # trait COLUMNS: C[r, m + t] = trait_full[t, r]
+    tcols = trait_full[:, :].T[g_row]  # (L, p) via global row index
+    stripe = jax.lax.dynamic_update_slice(stripe, tcols, (0, m))
+    # trait ROWS: overwrite the whole row from trait_full
+    trows = trait_full[jnp.clip(trait_of, 0, p - 1)]  # (L, vp)
+    stripe = jnp.where(is_trait[:, None], trows, stripe)
+    # diagonal 1, inert pads (zero off-diagonal beyond v = m + p)
+    col = jnp.arange(vp)[None, :]
+    v = m + p
+    on_diag = col == g_row[:, None]
+    pad_rc = (g_row[:, None] >= v) | (col >= v)
+    stripe = jnp.where(on_diag, 1.0, jnp.where(pad_rc, 0.0, stripe))
+    return stripe
+
+
+# ---------------------------------------------------------------------------
 # genome-wide banded correlations (the `block` stage) over the mesh
 # ---------------------------------------------------------------------------
 
@@ -591,9 +897,49 @@ class ShardedEngine:
         self.corr_panel_device = make_panel_sharded(mesh, axis)
         self.kendall_npn_corr_banded = make_banded_corr_sharded(mesh, axis)
 
+    def for_stage2(self):
+        """Engine to use for the second cusk stage (the reduced panel)."""
+        return self
+
     @classmethod
     def flat(cls, devices=None, axis: str = "marker") -> "ShardedEngine":
         """1-D mesh over all (or the given) devices."""
         if devices is None:
             devices = jax.devices()
         return cls(Mesh(np.array(devices), (axis,)), axis)
+
+
+def _no_rowsharded_hetcor(*_a, **_k):
+    raise NotImplementedError(
+        "hetcor kernels are not available in row-sharded panel mode; use "
+        "ShardedEngine (replicated panel) for cuskss workloads"
+    )
+
+
+class RowShardedEngine(ShardedEngine):
+    """Non-replicated panel mode: the correlation panel stays ROW-SHARDED
+    over the mesh — each device holds a (vp/D, vp) stripe — so a block
+    whose panel exceeds one chip's HBM still runs. Level kernels consume
+    the stripes through a ring pass (`_ring_local_panels` /
+    `_dense1_ring_body`): D ppermute steps rotate the stripes while each
+    device extracts what its node shard needs; no device ever materializes
+    the full panel. The multi-chip analogue of the reference's stripe sweep
+    under a device-memory cap (`corr_host.cu:208-420`).
+
+    The second cusk stage runs single-device (`for_stage2` returns None):
+    the reduced panel is tiny and re-sharding it would only change kernel
+    shapes, which the byte-identity contract forbids.
+    """
+
+    def __init__(self, mesh: Mesh, axis: str = "marker"):
+        super().__init__(mesh, axis)
+        self.level_scan_minrho = make_level_scan_rowsharded(mesh, axis)
+        self.level2_local_sweep = make_level_local_rowsharded(mesh, axis, 2)
+        self.level3_local_sweep = make_level_local_rowsharded(mesh, axis, 3)
+        self.level1_dense_minrho = make_level1_rowsharded(mesh, axis)
+        self.corr_panel_device = make_panel_rowsharded(mesh, axis)
+        self.level_scan_hetcor = _no_rowsharded_hetcor
+        self.hetcor1_dense_margin = _no_rowsharded_hetcor
+
+    def for_stage2(self):
+        return None

@@ -146,7 +146,10 @@ class CuskContext:
         outdir: str,
         verbose: bool = True,
         mesh=None,
+        panel_mode: str = "replicated",
     ):
+        if panel_mode not in ("replicated", "rowsharded"):
+            raise ValueError(f"unknown panel_mode: {panel_mode!r}")
         check_prepped_bed_path(bed_base_path)
         check_path(phen_path)
         check_path(block_path)
@@ -165,10 +168,14 @@ class CuskContext:
         self.verbose = verbose
         self.engine = None
         if mesh is not None:
-            from cigwas_tpu.parallel.sharded import ShardedEngine
+            from cigwas_tpu.parallel.sharded import (
+                RowShardedEngine,
+                ShardedEngine,
+            )
 
             axis = "marker" if "marker" in mesh.axis_names else mesh.axis_names[0]
-            self.engine = ShardedEngine(mesh, axis)
+            cls = RowShardedEngine if panel_mode == "rowsharded" else ShardedEngine
+            self.engine = cls(mesh, axis)
 
         self.blocks = read_blocks_from_file(block_path)
         for b in self.blocks:
@@ -301,7 +308,10 @@ class CuskContext:
         # from the reduced correlations (its level 0 rebuilds the adjacency)
         if verbose:
             print("Starting second cusk stage")
-        res2 = skeleton(gcs.C, Th, max_level_two, verbose=verbose, engine=engine)
+        res2 = skeleton(
+            gcs.C, Th, max_level_two, verbose=verbose,
+            engine=engine.for_stage2() if engine is not None else None,
+        )
         keep2 = subset_variables(res2.G, gcs.num_var, gcs.num_markers(), depth)
         gcs2 = reduce_gcs(
             res2.G,

@@ -176,9 +176,13 @@ def _run_level_local(
     if active.size == 0:
         return removed, rho_full, sep_full
 
+    # TIGHT degree buckets (multiples of 8, the sublane quantum): the sweep
+    # walls scale ~d^(l+1) while lanes are padded to 128 regardless, so a
+    # pow2 bucket wastes up to (2x)^4 compute at level 3 — measured on the
+    # v5e, deg 45 runs 4x faster in a 48-bucket than a 64-bucket
     buckets: dict = {}
     for x in active:
-        d_pad = _next_pow2(max(int(deg_all[x]), 8))
+        d_pad = max(8, -(-int(deg_all[x]) // 8) * 8)
         buckets.setdefault(d_pad, []).append(int(x))
 
     sweep = {2: pcorr_ops.level2_local_sweep, 3: pcorr_ops.level3_local_sweep}[l]
@@ -188,10 +192,15 @@ def _run_level_local(
     pending = []
     for d_pad in sorted(buckets):
         nodes = np.array(buckets[d_pad], dtype=np.int32)
-        # pair-sweep chunk: peak live tensor is (nt, ct, d, d)
-        ct = max(8, min(d_pad, LOCAL_ELEM_BUDGET // (d_pad * d_pad)))
-        ct = 1 << (ct.bit_length() - 1)
-        ct = min(ct, d_pad)
+        # pair-sweep chunk: peak live tensor is (nt, ct, d, d); ct must
+        # DIVIDE d_pad (the chunk loop runs d_pad // ct steps), so pick the
+        # largest multiple-of-8 divisor within the element budget
+        ct_cap = max(8, LOCAL_ELEM_BUDGET // (d_pad * d_pad))
+        ct = 8
+        for c in range(d_pad, 7, -8):
+            if d_pad % c == 0 and c <= ct_cap:
+                ct = c
+                break
         node_tile = max(1, LOCAL_ELEM_BUDGET // (ct * d_pad * d_pad))
         if node_tile > 1:
             node_tile = 1 << (node_tile.bit_length() - 1)

@@ -41,12 +41,7 @@ def build_block(m, n, p):
 def main():
     from cigwas_tpu.io.bed import encode_bed_values
     from cigwas_tpu.constants import ML
-    from cigwas_tpu.ops.corr import (
-        kendall_npn_corr,
-        marker_phen_corr,
-        pack_square_corr,
-        phen_phen_corr,
-    )
+    from cigwas_tpu.ops.corr import corr_panel_device_tiled
     from cigwas_tpu.skeleton import reduce_gcs, skeleton, subset_variables
     from cigwas_tpu.utils.stats import threshold_array
 
@@ -59,16 +54,17 @@ def main():
     th = threshold_array(N, 1e-4)
 
     def two_stage(stats):
+        # mirrors pipelines/cusk._run_block's >4096 device-resident branch
         t = time.perf_counter()
-        mm = kendall_npn_corr(bb, N)
+        C_dev, v_panel = corr_panel_device_tiled(bb, Y, means, stds, N)
+        # axon: only a value fetch truly synchronizes (CLAUDE.md)
+        float(np.asarray(C_dev[0, 0]))
         stats["corr_wall_s"] = time.perf_counter() - t
         t = time.perf_counter()
-        mp = marker_phen_corr(bb, Y, means, stds, N)
-        pp = phen_phen_corr(Y)
-        sq = pack_square_corr(mm, np.asarray(mp), pp)
-        stats["pack_wall_s"] = time.perf_counter() - t
-        t = time.perf_counter()
-        res1 = skeleton(sq, th, 3, stats=stats)
+        res1 = skeleton(
+            C_dev, th, 3, C_dev=C_dev, n_var=v_panel, want_pmax=False,
+            stats=stats,
+        )
         stats["stage1_wall_s"] = time.perf_counter() - t
         deg = res1.G.sum(axis=1)
         stats["stage1_deg"] = (
@@ -76,9 +72,9 @@ def main():
         )
         t = time.perf_counter()
         keep = subset_variables(res1.G, M + P, M, 1)
-        gcs = reduce_gcs(res1.G, sq, res1.sepset, keep, M + P, P, 3)
+        gcs = reduce_gcs(res1.G, C_dev, res1.sepset, keep, M + P, P, 3)
         s2stats = {}
-        res2 = skeleton(gcs.C, th, ML, stats=s2stats)
+        res2 = skeleton(gcs.C, th, ML, stats=s2stats, want_pmax=False)
         stats["stage2_wall_s"] = time.perf_counter() - t
         stats["stage2_nvar"] = gcs.num_var
         stats["stage2_levels"] = s2stats.get("level_wall_s")

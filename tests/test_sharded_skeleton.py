@@ -199,3 +199,59 @@ def test_sharded_banded_corr_rejects_thin_shards():
     eng = ShardedEngine(mesh, "marker")
     with pytest.raises(ValueError, match="corr_width"):
         eng.kendall_npn_corr_banded(bb, 200, 16)
+
+
+def test_rowsharded_two_stage_cusk_byte_identical(sharded_dataset):
+    """The FULL two-stage cusk with the ROW-SHARDED (non-replicated) panel
+    reproduces the plain single-device block outputs byte-for-byte. No
+    device materializes the (vp, vp) panel: each holds a (vp/D, vp) stripe
+    and the level kernels consume it through the ring pass."""
+    import jax
+    from jax.sharding import Mesh
+
+    tmp, stem, blockfile, n = sharded_dataset
+    out_plain = tmp / "out_plain_rs"
+    _run_blocks(stem, blockfile, out_plain)
+
+    from cigwas_tpu.pipelines.cusk import CuskContext
+
+    mesh = Mesh(np.array(jax.devices()), ("marker",))
+    outdir = tmp / "out_rowsharded"
+    os.makedirs(outdir, exist_ok=True)
+    ctx = CuskContext(
+        stem + ".phen", stem, blockfile, 0.001, 3, 14, 1, str(outdir),
+        verbose=False, mesh=mesh, panel_mode="rowsharded",
+    )
+    for bi in range(len(ctx.blocks)):
+        ctx.finish(ctx.prepare(bi))
+
+    plain = _hashes(out_plain)
+    got = _hashes(outdir)
+    assert plain, "no block outputs produced"
+    assert set(plain) == set(got)
+    for f in plain:
+        assert plain[f] == got[f], f"{f} differs between plain and rowsharded"
+
+
+def test_rowsharded_panel_is_actually_sharded(sharded_dataset):
+    """The row-sharded panel's device shards are (vp/D, vp) stripes."""
+    import jax
+    from jax.sharding import Mesh
+
+    from cigwas_tpu.parallel.sharded import RowShardedEngine
+    from cigwas_tpu.io.bed import encode_bed_values
+
+    rng = np.random.default_rng(0)
+    m, n, p = 100, 500, 2
+    G = (rng.random((m, n)) < 0.3).astype(np.float32) + (
+        rng.random((m, n)) < 0.3
+    )
+    Y = rng.normal(size=(p, n)).astype(np.float32)
+    mesh = Mesh(np.array(jax.devices()), ("marker",))
+    eng = RowShardedEngine(mesh, "marker")
+    C, v = eng.corr_panel_device(
+        encode_bed_values(G), Y, G.mean(1), G.std(1), n
+    )
+    vp = C.shape[0]
+    shard_shapes = {s.data.shape for s in C.addressable_shards}
+    assert shard_shapes == {(vp // 8, vp)}
