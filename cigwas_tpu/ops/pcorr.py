@@ -467,14 +467,11 @@ def level1_dense_minrho(C, G):
 
     Returns (rho_min (v, v), s_argmin (v, v) int32).
     """
-    if os.environ.get("CIGWAS_L1_PALLAS") and jax.default_backend() == "tpu":
-        # VMEM-tiled Pallas kernel, kept for comparison: measured 6.4x
-        # SLOWER than the XLA tiled loop at vp=2176 on v5e (39 vs 253 e9
-        # tests/s, scripts/probe_l1_routing.py) — XLA fuses the (tile, vp,
-        # vp) sweep into the min reduction without materializing it.
-        from cigwas_tpu.ops.pallas.level1 import level1_min_rho_masked
-
-        return level1_min_rho_masked(C, G)
+    # NB: a hand-written Pallas VMEM kernel for this sweep measured 6.4x
+    # SLOWER than the XLA tiled loop at vp=2176 on v5e (39 vs 253 e9
+    # tests/s) — XLA fuses the (tile, vp, vp) sweep into the min reduction
+    # without materializing it; the kernel was removed (README, "Pallas
+    # findings")
     C = jnp.asarray(C, dtype=jnp.float32)
     v = C.shape[0]
     pad = (-v) % 128
@@ -568,14 +565,7 @@ def hetcor1_dense_margin(C_dev, N_dev, t_dev, Gb, th: float):
         Gm = jnp.pad(Gm, ((0, pad), (0, pad)))
         N = jnp.pad(N, ((0, pad), (0, pad)), constant_values=10.0)
         t = jnp.pad(t, (0, pad))
-    if os.environ.get("CIGWAS_L1_PALLAS") and jax.default_backend() == "tpu":
-        # see level1_dense_minrho: the XLA tiled loop beats the Pallas VMEM
-        # kernel by ~6x on v5e; kept for comparison only
-        from cigwas_tpu.ops.pallas.level1 import hetcor1_min_margin
-
-        out = hetcor1_min_margin(C, N, t, Gm, th)
-    else:
-        out = _hetcor1_dense_padded(C, N, t, Gm, jnp.float32(th), 128)
+    out = _hetcor1_dense_padded(C, N, t, Gm, jnp.float32(th), 128)
     return np.asarray(out)[:v, :v]
 
 
