@@ -10,14 +10,18 @@ Phases (all on the real TPU):
    dispatch+fetch floor of the remote-attached TPU (the floor is reported
    separately). Headline metric: CI tests/s/chip, plus achieved FLOP/s and
    MFU against the v5e's measured int8/bf16 matmul peaks.
-2. production two-stage path: wall time of corr panel + 3-level skeleton on a
+2. MFU attribution: the step's two dominant sub-phases timed alone
+   (decode+contingency matmul; dense level-1 sweep).
+3. production two-stage path: wall time of corr panel + 3-level skeleton on a
    2048-marker block, with per-level instrumentation — levels >= 2 report
    their exact enumerated (x, S, y) test count per second (the reference's
    hot loop, `cuPC-S.cu:486-3020`).
-3. block-throughput scaling: `run_all_blocks` over a synthetic multi-block
-   chromosome with 1 and 2 LPT partitions (run sequentially on the one chip);
-   projected 2-partition scaling = t_1 / (2 * max partition wall). North star
-   is >= 0.8 (BASELINE.md).
+4. the reference-DEFAULT ~11k-marker block (`ci-gwas.py:75`) through the
+   device-resident two-stage flow, with per-level walls.
+5. block-throughput scaling: `run_all_blocks` over a synthetic multi-block
+   chromosome with 1 and 2 LPT partitions (run sequentially on the one chip,
+   projected), PLUS measured concurrent-OS-process scaling on CPU with
+   single-core-pinned workers. North star is >= 0.8 (BASELINE.md).
 
 The reference repo publishes no numbers (BASELINE.md), so vs_baseline is 1.0
 by definition. Prints ONE JSON line.
@@ -159,6 +163,133 @@ def _phase_fused_step(result):
         block_markers=M,
         individuals=N,
     )
+
+
+def _phase_fused_step_attribution(result):
+    """MFU attribution: time the fused step's two dominant sub-phases alone
+    (decode -> int8 contingency matmul -> Kendall epilogue; dense level-1
+    sweep) so the headline MFU number has a breakdown (VERDICT r2 item 4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cigwas_tpu.ops.corr import _kendall_from_counts
+    from cigwas_tpu.ops.decode import contingency_counts, geno_onehot, unpack_bed_codes
+    from cigwas_tpu.ops.pcorr import _level1_dense_padded
+
+    rng = np.random.default_rng(0)
+    beds = jax.device_put(
+        rng.integers(0, 256, size=(K_AMORT, M, N // 4), dtype=np.uint8)
+    )
+
+    @jax.jit
+    def contingency_only(bb):
+        def body(acc, b):
+            codes = unpack_bed_codes(b)
+            X = geno_onehot(codes).reshape(3 * M, -1)
+            counts = contingency_counts(X, X).astype(jnp.float32)
+            C = _kendall_from_counts(counts, M, M)
+            return acc + C[0, 1], None
+
+        s, _ = jax.lax.scan(body, jnp.float32(0), bb)
+        return s
+
+    vp = M + P + ((-(M + P)) % 128)
+    A = rng.normal(size=(vp, 256)).astype(np.float32)
+
+    @jax.jit
+    def build_panel(Ad):
+        C = Ad @ Ad.T
+        d = jax.lax.rsqrt(jnp.diagonal(C))
+        C = C * d[:, None] * d[None, :]
+        return C, (jnp.abs(C) > 0.05) & ~jnp.eye(vp, dtype=bool)
+
+    C_dev, G_dev = build_panel(jax.device_put(A))
+    float(jnp.asarray(C_dev[0, 0]))
+
+    @jax.jit
+    def sweep_only(C, G):
+        def body(acc, _):
+            # acc feeds back into C so XLA cannot hoist the loop-invariant
+            # sweep out of the scan
+            r, s = _level1_dense_padded(C + acc * 1e-30, G, 128)
+            return acc + r[0, 0], None
+
+        out, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(K_AMORT))
+        return out
+
+    def timed(fn, *args):
+        float(jnp.asarray(fn(*args)))  # warm
+        t0 = time.perf_counter()
+        for _ in range(REPS):
+            float(jnp.asarray(fn(*args)))
+        return (time.perf_counter() - t0) / REPS / K_AMORT
+
+    t_cont = timed(contingency_only, beds)
+    t_sweep = timed(sweep_only, C_dev, G_dev)
+    cont_flops = 2.0 * (3 * M) ** 2 * N
+    sweep_flops = 4.0 * float(vp) ** 3
+    result["attrib_contingency_s"] = round(t_cont, 5)
+    result["attrib_contingency_tops"] = round(cont_flops / t_cont / 1e12, 1)
+    result["attrib_l1_sweep_s"] = round(t_sweep, 5)
+    result["attrib_l1_sweep_tflops"] = round(sweep_flops / t_sweep / 1e12, 2)
+
+
+def _phase_block11k(result):
+    """The reference's DEFAULT operating point: one ~11k-marker block
+    (`ci-gwas.py:75` defaults max_block_size=11000) through the production
+    device-resident two-stage flow, with per-level walls (VERDICT r2 item 1)."""
+    from cigwas_tpu.constants import ML
+    from cigwas_tpu.io.bed import encode_bed_values
+    from cigwas_tpu.ops.corr import corr_panel_device_tiled
+    from cigwas_tpu.skeleton import reduce_gcs, skeleton, subset_variables
+    from cigwas_tpu.utils.stats import threshold_array
+
+    m = int(os.environ.get("CIGWAS_BENCH_M11K", 11000))
+    n, p = N, P
+    rng = np.random.default_rng(0)
+    # AR(1) LD structure: a latent AR process over the marker axis gives
+    # each marker a realistic correlated neighbourhood (deg ~80 at level 0)
+    noise = rng.normal(size=(m, n)).astype(np.float32)
+    ar = 0.92
+    prev = np.empty((m, n), dtype=np.float32)
+    acc = noise[0]
+    prev[0] = acc
+    scale = np.sqrt(1 - ar**2)
+    for i in range(1, m):
+        acc = ar * acc + scale * noise[i]
+        prev[i] = acc
+    pfreq = 1 / (1 + np.exp(-prev * 0.8))
+    u1 = rng.random((m, n)).astype(np.float32)
+    u2 = rng.random((m, n)).astype(np.float32)
+    G = (u1 < pfreq).astype(np.float32) + (u2 < pfreq)
+    Y = rng.normal(size=(p, n)).astype(np.float32)
+    Y = (Y - Y.mean(1, keepdims=True)) / Y.std(1, keepdims=True)
+    bb = encode_bed_values(G)
+    means, stds = G.mean(axis=1), G.std(axis=1)
+    th = threshold_array(n, 1e-4)
+
+    def run(stats=None):
+        C_dev, v = corr_panel_device_tiled(bb, Y, means, stds, n)
+        res1 = skeleton(
+            C_dev, th, 3, C_dev=C_dev, n_var=v, want_pmax=False, stats=stats
+        )
+        keep = subset_variables(res1.G, m + p, m, 1)
+        gcs = reduce_gcs(res1.G, C_dev, res1.sepset, keep, m + p, p, 3)
+        res2 = skeleton(gcs.C, th, ML, want_pmax=False)
+        return res1
+
+    run()  # warmup/compile
+    stats: dict = {}
+    t0 = time.perf_counter()
+    run(stats=stats)
+    result["block11k_wall_s"] = round(time.perf_counter() - t0, 2)
+    lvl = stats.get("level_wall_s", {})
+    result["block11k_level_wall_s"] = {k: round(v, 2) for k, v in lvl.items()}
+    deep = sum(w_ for l, w_ in lvl.items() if l >= 2)
+    if stats.get("ci_tests") and deep > 0:
+        result["block11k_level2plus_tests_per_sec"] = round(
+            stats["ci_tests"] / deep, 1
+        )
 
 
 def _phase_production_block(result):
@@ -332,9 +463,17 @@ def main() -> int:
     _phase_fused_step(result)
     if os.environ.get("CIGWAS_BENCH_FULL", "1") != "0":
         try:
-            _phase_production_block(result)
+            _phase_fused_step_attribution(result)
         except Exception as e:  # pragma: no cover - keep the JSON line alive
+            result["attrib_phase_error"] = repr(e)
+        try:
+            _phase_production_block(result)
+        except Exception as e:  # pragma: no cover
             result["block_phase_error"] = repr(e)
+        try:
+            _phase_block11k(result)
+        except Exception as e:  # pragma: no cover
+            result["block11k_phase_error"] = repr(e)
         try:
             _phase_partition_scaling(result)
         except Exception as e:  # pragma: no cover
