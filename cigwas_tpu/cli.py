@@ -31,6 +31,19 @@ def cmd_prep_bed(args):
     prep_bed(args.bfiles)
 
 
+def _mesh_from_flag(args):
+    """--mesh N -> a 1-D "marker" mesh over the first N (or all) devices."""
+    if getattr(args, "mesh", None) is None:
+        return None
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    n = len(devs) if args.mesh == 0 else args.mesh
+    return Mesh(np.array(devs[:n]), ("marker",))
+
+
 def cmd_block(args):
     from cigwas_tpu.pipelines import make_blocks
 
@@ -38,9 +51,9 @@ def cmd_block(args):
 
 
 def cmd_cusk(args):
-    from cigwas_tpu.pipelines import cusk
+    from cigwas_tpu.pipelines.cusk import CuskContext
 
-    cusk(
+    ctx = CuskContext(
         args.phen,
         args.bfiles,
         args.blocks,
@@ -49,8 +62,10 @@ def cmd_cusk(args):
         args.max_level_two,
         args.max_depth,
         args.outdir,
-        args.block_index,
+        mesh=_mesh_from_flag(args),
+        panel_mode=args.panel_mode,
     )
+    ctx.finish(ctx.prepare(args.block_index))
 
 
 def cmd_cuskss(args):
@@ -196,6 +211,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("max_level_two", type=_bounded(int, "max-level", 0, 14), default=14)
     p.add_argument("max_depth", type=_bounded(int, "max-depth", 1), default=1)
     p.add_argument("outdir", type=str, default="./")
+    p.add_argument(
+        "--mesh", type=int, default=None, metavar="N",
+        help="run SPMD over a 1-D mesh of N local devices (0 = all)",
+    )
+    p.add_argument(
+        "--panel-mode", choices=("replicated", "rowsharded"),
+        default="replicated",
+        help="replicated: panel on every device; rowsharded: panel split "
+        "into (vp/D, vp) stripes (for blocks larger than one chip's HBM)",
+    )
     p.set_defaults(func=cmd_cusk)
 
     p = sub.add_parser("cuskss", help="Skeleton from summary statistics")

@@ -168,3 +168,27 @@ def test_partition_blocks_covers_all():
     assert sorted(seen) == sorted(b.to_file_string() for b in blocks)
     # cost-balanced: no partition empty
     assert all(len(p) > 0 for p in parts)
+
+
+def test_cli_cusk_mesh_flags(sim_dataset, tmp_path):
+    """`cusk --mesh 0 --panel-mode rowsharded` runs SPMD over all (virtual)
+    devices from the CLI and matches the plain run byte-for-byte."""
+    import hashlib
+
+    tmp, stem, n = sim_dataset
+    blockfile = stem + "_m64.blocks"
+    out_a = tmp_path / "plain"
+    out_b = tmp_path / "meshed"
+    out_a.mkdir()
+    out_b.mkdir()
+    cli_main(["cusk", "0", blockfile, stem, stem + ".phen", "0.001", "3",
+              "14", "1", str(out_a)])
+    cli_main(["cusk", "0", blockfile, stem, stem + ".phen", "0.001", "3",
+              "14", "1", str(out_b), "--mesh", "0",
+              "--panel-mode", "rowsharded"])
+    fa = sorted(os.listdir(out_a))
+    assert fa and fa == sorted(os.listdir(out_b))
+    for f in fa:
+        a = hashlib.md5(open(out_a / f, "rb").read()).hexdigest()
+        b = hashlib.md5(open(out_b / f, "rb").read()).hexdigest()
+        assert a == b, f
