@@ -407,6 +407,192 @@ def level3_local_sweep_pre(C_x, c_row, deg, ct: int):
     return jax.vmap(per_node)(C_x, c_row, deg)
 
 
+
+def _hetcor_pair_margin(Cb, qb, Nbv, Nbc, nrv, nrc, tn, t_x, deg_x,
+                        t_hi, y_excl, base, th, lvl: int, ct: int):
+    """Min hetcor margin over pairs s < t (< min(t_hi, deg)), per slot y.
+
+    margin = |rho_{xy | B u {s,t}}| - tanh(th / sqrt(mean_ess - lvl - 3)).
+    Cb/qb: the level-|B| CONDITIONED local panel / cross row (the recursion
+    of `_pair_sweep`); the ESS and time terms always use the RAW per-pair N
+    and time indices (`hetcor-cuPC-S.cu:3055-3089`). Nbv/Nbc: NaN-masked
+    pairwise-N values/counts among neighbours; nrv/nrc: same for (x, b).
+
+    base = (sum0, cnt0, sum_y (d,), cnt_y (d,), sum_v (d,), cnt_v (d,),
+    t_base): the base element's ESS contributions — (x, u) scalars, (y, u)
+    per y row, (s, u)/(t, u) per variable slot — and its time index (-1.0
+    for an empty base).
+
+    Returns margin_min (d,) per y (no positions: hetcor keeps no sepsets).
+    """
+    d = Cb.shape[0]
+    s_ix = jnp.arange(d)
+    t_cap = jnp.minimum(deg_x, t_hi)
+    sum0, cnt0, sum_y, cnt_y, sum_v, cnt_v, t_base = base
+    lvl_f = jnp.float32(lvl)
+
+    def chunk_fn(t0):
+        Ct = jax.lax.dynamic_slice(Cb, (t0, 0), (ct, d))
+        qt = jax.lax.dynamic_slice(qb, (t0,), (ct,))
+        Rt = jax.lax.rsqrt(jnp.abs(1.0 - Ct * Ct))
+        q2 = (qb[None, :] - qt[:, None] * Ct) * (
+            jax.lax.rsqrt(jnp.abs(1.0 - qt * qt))[:, None] * Rt
+        )
+        CtT = Ct.T
+        RtT = Rt.T
+        T2 = (Cb[:, None, :] - CtT[:, :, None] * Ct[None, :, :]) * (
+            RtT[:, :, None] * Rt[None, :, :]
+        )
+        rho = jnp.abs(q2.T[:, :, None] - q2[None, :, :] * T2) * (
+            jax.lax.rsqrt(jnp.abs(1.0 - q2 * q2))[None, :, :]
+            * jax.lax.rsqrt(jnp.abs(1.0 - T2 * T2))
+        )  # (y, t, s)
+        t_glob = t0 + jnp.arange(ct)
+        bad = (
+            (s_ix[None, None, :] >= t_glob[None, :, None])
+            | (t_glob[None, :, None] >= t_cap)
+            | (s_ix[:, None, None] >= deg_x)
+            | (s_ix[:, None, None] == s_ix[None, None, :])
+            | (s_ix[:, None, None] == t_glob[None, :, None])
+            | (s_ix[:, None, None] == y_excl)
+        )
+        rho = jnp.where(bad | ~jnp.isfinite(rho), RHO_BIG, rho)
+
+        # pairwise mean ESS over {x, y, s, t} u B: broadcast sums of the
+        # RAW NaN-masked terms
+        nrv_t = jax.lax.dynamic_slice(nrv, (t0,), (ct,))
+        nrc_t = jax.lax.dynamic_slice(nrc, (t0,), (ct,))
+        Nbv_t = jax.lax.dynamic_slice(Nbv, (t0, 0), (ct, d))  # (t, s)
+        Nbc_t = jax.lax.dynamic_slice(Nbc, (t0, 0), (ct, d))
+        NbvT_t = jax.lax.dynamic_slice(Nbv, (0, t0), (d, ct))  # (y, t)
+        NbcT_t = jax.lax.dynamic_slice(Nbc, (0, t0), (d, ct))
+        sv_t = jax.lax.dynamic_slice(sum_v, (t0,), (ct,))
+        cv_t = jax.lax.dynamic_slice(cnt_v, (t0,), (ct,))
+        tot = (
+            nrv[:, None, None]            # (x, y)
+            + nrv[None, None, :]          # (x, s)
+            + nrv_t[None, :, None]        # (x, t)
+            + Nbv[:, None, :]             # (y, s)
+            + NbvT_t[:, :, None]          # (y, t)
+            + Nbv_t[None, :, :]           # (s, t)
+            + sum0
+            + sum_y[:, None, None]        # (y, u)
+            + sum_v[None, None, :]        # (s, u)
+            + sv_t[None, :, None]         # (t, u)
+        )
+        cnt = (
+            nrc[:, None, None]
+            + nrc[None, None, :]
+            + nrc_t[None, :, None]
+            + Nbc[:, None, :]
+            + NbcT_t[:, :, None]
+            + Nbc_t[None, :, :]
+            + cnt0
+            + cnt_y[:, None, None]
+            + cnt_v[None, None, :]
+            + cv_t[None, :, None]
+        )
+        mean_ess = tot / cnt
+        th_test = jnp.tanh(th / jnp.sqrt(mean_ess - lvl_f - 3.0))
+        tn_t = jax.lax.dynamic_slice(tn, (t0,), (ct,))
+        t_set = jnp.maximum(
+            jnp.maximum(tn[None, None, :], tn_t[None, :, None]), t_base
+        )
+        t_pair = jnp.maximum(t_x, tn)[:, None, None]  # (y, 1, 1)
+        time_bad = t_set > t_pair
+        margin = jnp.where(
+            time_bad | ~jnp.isfinite(th_test) | (rho >= RHO_BIG),
+            MARGIN_BIG, rho - th_test,
+        )
+        return jnp.min(margin, axis=(1, 2))  # (y,)
+
+    if ct == d:
+        return chunk_fn(0)
+
+    def chunk(i, m0):
+        return jnp.minimum(m0, chunk_fn(i * ct))
+
+    return jax.lax.fori_loop(
+        0, d // ct, chunk, jnp.full((d,), MARGIN_BIG, jnp.float32)
+    )
+
+
+def _hetcor_local_gather(C, N, t_ix, node_ixs, nbrs):
+    Cb = C[nbrs[:, :, None], nbrs[:, None, :]]
+    qb = C[node_ixs[:, None], nbrs]
+    Nb_raw = N[nbrs[:, :, None], nbrs[:, None, :]]
+    nr_raw = N[node_ixs[:, None], nbrs]
+    Nbv = jnp.nan_to_num(Nb_raw)
+    Nbc = jnp.where(jnp.isnan(Nb_raw), 0.0, 1.0)
+    nrv = jnp.nan_to_num(nr_raw)
+    nrc = jnp.where(jnp.isnan(nr_raw), 0.0, 1.0)
+    tn = t_ix[nbrs].astype(jnp.float32)
+    t_x = t_ix[node_ixs].astype(jnp.float32)
+    return Cb, qb, Nbv, Nbc, nrv, nrc, tn, t_x
+
+
+@partial(jax.jit, static_argnames=("ct",))
+def hetcor2_local_sweep(C, N, t_ix, node_ixs, nbrs, deg, th, ct: int):
+    """ALL hetcor level-2 tests of a node tile in one dispatch: min margin
+    over every conditioning pair, with per-test mean-ESS thresholds and
+    time constraints (same tests as `level_scan_hetcor` at l=2)."""
+    Cb, qb, Nbv, Nbc, nrv, nrc, tn, t_x = _hetcor_local_gather(
+        C, N, t_ix, node_ixs, nbrs
+    )
+    d = nbrs.shape[1]
+    zero_d = jnp.zeros((d,), jnp.float32)
+
+    def per_node(Cb_n, qb_n, Nbv_n, Nbc_n, nrv_n, nrc_n, tn_n, t_x_n, deg_n):
+        base = (jnp.float32(0.0), jnp.float32(0.0), zero_d, zero_d,
+                zero_d, zero_d, jnp.float32(-1.0))
+        return _hetcor_pair_margin(
+            Cb_n, qb_n, Nbv_n, Nbc_n, nrv_n, nrc_n, tn_n, t_x_n, deg_n,
+            jnp.int32(d), jnp.int32(d), base, jnp.float32(th), 2, ct,
+        )
+
+    return jax.vmap(per_node)(Cb, qb, Nbv, Nbc, nrv, nrc, tn, t_x, deg)
+
+
+@partial(jax.jit, static_argnames=("ct",))
+def hetcor3_local_sweep(C, N, t_ix, node_ixs, nbrs, deg, th, ct: int):
+    """ALL hetcor level-3 tests of a node tile: outer scan over the largest
+    conditioning element u, rho via the conditioned-panel recursion, ESS and
+    time terms from the RAW per-pair N (same tests as `level_scan_hetcor`
+    at l=3)."""
+    Cb, qb, Nbv, Nbc, nrv, nrc, tn, t_x = _hetcor_local_gather(
+        C, N, t_ix, node_ixs, nbrs
+    )
+    d = nbrs.shape[1]
+
+    def per_node(Cb_n, qb_n, Nbv_n, Nbc_n, nrv_n, nrc_n, tn_n, t_x_n, deg_n):
+        def outer(u, m0):
+            cu = jax.lax.dynamic_index_in_dim(Cb_n, u, 0, keepdims=False)
+            qu = jax.lax.dynamic_index_in_dim(qb_n, u, 0, keepdims=False)
+            Ru = jax.lax.rsqrt(jnp.abs(1.0 - cu * cu))
+            T1 = (Cb_n - cu[:, None] * cu[None, :]) * (Ru[:, None] * Ru[None, :])
+            q1 = (qb_n - qu * cu) * (jax.lax.rsqrt(jnp.abs(1.0 - qu * qu)) * Ru)
+            base = (
+                jax.lax.dynamic_index_in_dim(nrv_n, u, 0, keepdims=False),
+                jax.lax.dynamic_index_in_dim(nrc_n, u, 0, keepdims=False),
+                jax.lax.dynamic_slice(Nbv_n, (0, u), (d, 1))[:, 0],
+                jax.lax.dynamic_slice(Nbc_n, (0, u), (d, 1))[:, 0],
+                jax.lax.dynamic_slice(Nbv_n, (0, u), (d, 1))[:, 0],
+                jax.lax.dynamic_slice(Nbc_n, (0, u), (d, 1))[:, 0],
+                jax.lax.dynamic_index_in_dim(tn_n, u, 0, keepdims=False),
+            )
+            m_u = _hetcor_pair_margin(
+                T1, q1, Nbv_n, Nbc_n, nrv_n, nrc_n, tn_n, t_x_n, deg_n,
+                u, u, base, jnp.float32(th), 3, ct,
+            )
+            return jnp.where(u < deg_n, jnp.minimum(m0, m_u), m0)
+
+        return jax.lax.fori_loop(
+            2, d, outer, jnp.full((d,), MARGIN_BIG, jnp.float32)
+        )
+
+    return jax.vmap(per_node)(Cb, qb, Nbv, Nbc, nrv, nrc, tn, t_x, deg)
+
+
 @partial(jax.jit, static_argnames=("tile",))
 def _level1_dense_padded(C, Gm, tile: int):
     """Tiled dense level-1 sweep over a padded (vp, vp) panel.

@@ -140,6 +140,37 @@ def make_level_local_sharded(mesh: Mesh, axis: str, l: int):
     return run
 
 
+def make_hetcor_local_sharded(mesh: Mesh, axis: str, l: int):
+    """Sharded hetcor dense local sweep (levels 2/3): node tiles over
+    `axis`; panel/N/time replicated. Same contract as
+    `pcorr.hetcor2/3_local_sweep`."""
+    base = {
+        2: pcorr_ops.hetcor2_local_sweep,
+        3: pcorr_ops.hetcor3_local_sweep,
+    }[l]
+    cache = {}
+
+    def run(C, N, t_ix, node_ixs, nbrs, deg, th: float, ct: int):
+        key = (ct, float(th))
+        fn = cache.get(key)
+        if fn is None:
+            fn = jax.jit(
+                _shard_map(
+                    partial(base, th=float(th), ct=ct),
+                    mesh,
+                    in_specs=(
+                        P(None, None), P(None, None), P(None),
+                        P(axis), P(axis, None), P(axis),
+                    ),
+                    out_specs=P(axis, None),
+                )
+            )
+            cache[key] = fn
+        return fn(C, N, t_ix, node_ixs, nbrs, deg)
+
+    return run
+
+
 def make_level_scan_hetcor_sharded(mesh: Mesh, axis: str):
     """Sharded `level_scan_hetcor` (same layout; N/time replicated)."""
 
@@ -892,6 +923,8 @@ class ShardedEngine:
         self.level2_local_sweep = make_level_local_sharded(mesh, axis, 2)
         self.level3_local_sweep = make_level_local_sharded(mesh, axis, 3)
         self.level_scan_hetcor = make_level_scan_hetcor_sharded(mesh, axis)
+        self.hetcor2_local_sweep = make_hetcor_local_sharded(mesh, axis, 2)
+        self.hetcor3_local_sweep = make_hetcor_local_sharded(mesh, axis, 3)
         self.level1_dense_minrho = make_level1_sharded(mesh, axis)
         self.hetcor1_dense_margin = make_hetcor1_sharded(mesh, axis)
         self.corr_panel_device = make_panel_sharded(mesh, axis)
@@ -940,6 +973,8 @@ class RowShardedEngine(ShardedEngine):
         self.corr_panel_device = make_panel_rowsharded(mesh, axis)
         self.level_scan_hetcor = _no_rowsharded_hetcor
         self.hetcor1_dense_margin = _no_rowsharded_hetcor
+        self.hetcor2_local_sweep = _no_rowsharded_hetcor
+        self.hetcor3_local_sweep = _no_rowsharded_hetcor
 
     def for_stage2(self):
         return None

@@ -258,6 +258,95 @@ def _run_level_local(
     return removed, rho_full, sep_full
 
 
+def _run_level_local_hetcor(
+    C_dev,
+    N_dev,
+    t_dev,
+    G: np.ndarray,
+    l: int,
+    th: float,
+    verbose: bool = False,
+    engine=None,
+):
+    """Hetcor levels 2/3 via the dense local-panel recursion: min margin
+    over ALL conditioning sets per (x, y), per-test mean-ESS thresholds and
+    time constraints included (same tests as the `level_scan_hetcor`
+    enumeration; hetcor keeps no sepsets, so no positions are tracked).
+
+    Returns the symmetric removal mask (margin < 0 from either side).
+    """
+    assert l in (2, 3)
+    n = G.shape[0]
+    Gb = G.astype(bool)
+    deg_all = Gb.sum(axis=1)
+    active = np.where(deg_all >= l + 1)[0]
+    removed = np.zeros((n, n), dtype=bool)
+    if active.size == 0:
+        return removed
+
+    buckets: dict = {}
+    for x in active:
+        d_pad = max(8, -(-int(deg_all[x]) // 8) * 8)
+        buckets.setdefault(d_pad, []).append(int(x))
+
+    sweep = {
+        2: pcorr_ops.hetcor2_local_sweep,
+        3: pcorr_ops.hetcor3_local_sweep,
+    }[l]
+    if engine is not None:
+        sweep = {
+            2: engine.hetcor2_local_sweep,
+            3: engine.hetcor3_local_sweep,
+        }[l]
+
+    margin_full = np.full((n, n), np.inf, dtype=np.float32)
+    pending = []
+    for d_pad in sorted(buckets):
+        nodes = np.array(buckets[d_pad], dtype=np.int32)
+        ct_cap = max(8, LOCAL_ELEM_BUDGET // (d_pad * d_pad))
+        ct = 8
+        for c in range(d_pad, 7, -8):
+            if d_pad % c == 0 and c <= ct_cap:
+                ct = c
+                break
+        node_tile = max(1, LOCAL_ELEM_BUDGET // (ct * d_pad * d_pad))
+        if node_tile > 1:
+            node_tile = 1 << (node_tile.bit_length() - 1)
+        node_tile = min(node_tile, _next_pow2(len(nodes)))
+        if engine is not None:
+            # per-DEVICE shard shape == single-device launch shape (see
+            # _run_level_local)
+            node_tile = node_tile * engine.ndev
+        for s0 in range(0, len(nodes), node_tile):
+            tile = nodes[s0 : s0 + node_tile]
+            pad = node_tile - len(tile)
+            tile_p = (
+                np.concatenate([tile, np.full(pad, tile[-1], np.int32)])
+                if pad
+                else tile
+            )
+            nbrs, deg = _compact_neighbors(Gb, tile_p, d_pad)
+            m_dev = sweep(
+                C_dev, N_dev, t_dev, jnp.asarray(tile_p), jnp.asarray(nbrs),
+                jnp.asarray(deg), float(th), ct,
+            )
+            pending.append((tile, nbrs, deg, m_dev))
+
+    for _, _, _, m_dev in pending:
+        m_dev.copy_to_host_async()
+    for tile, nbrs, deg, m_dev in pending:
+        m_c = np.asarray(m_dev)
+        nt_real = len(tile)
+        d_pad = nbrs.shape[1]
+        valid = np.arange(d_pad)[None, :] < deg[:nt_real, None]
+        ri, ci = np.nonzero(valid)
+        margin_full[tile[ri], nbrs[ri, ci]] = m_c[ri, ci]
+    if verbose:
+        print(f"[hetcor level {l}] local-sweep launches: {len(pending)}")
+    cond = (margin_full < 0) & Gb
+    return cond | cond.T
+
+
 def _run_level(
     C_dev,
     G: np.ndarray,
@@ -737,6 +826,11 @@ def hetcor_skeleton(
             margin = dense1(C_dev, N_dev, t_dev, G, float(threshold))
             cond = (margin < 0) & G
             removed = cond | cond.T
+        elif l in LOCAL_LEVELS:
+            removed = _run_level_local_hetcor(
+                C_dev, N_dev, t_dev, G.astype(np.int32), l, float(threshold),
+                verbose=verbose, engine=engine,
+            )
         else:
             removed, _, _ = _run_level(
                 C_dev,

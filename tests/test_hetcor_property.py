@@ -183,3 +183,24 @@ def test_hetcor_modes_agree_on_integral_nanfree_ess():
     a = hetcor_skeleton(C, G0, N, th, 3, ess_mode="reference")
     b = hetcor_skeleton(C, G0, N, th, 3, ess_mode="float")
     np.testing.assert_array_equal(a.G, b.G)
+
+
+@pytest.mark.parametrize("seed", [7, 8])
+def test_hetcor_local_path_matches_scan_path(seed):
+    """Hetcor levels 2/3 route through the dense local-panel margin sweep;
+    it must make the same removal decisions as the combination-scan
+    enumeration (`level_scan_hetcor`)."""
+    import cigwas_tpu.skeleton.cupc as cupc
+
+    rng = np.random.default_rng(seed)
+    v = 14
+    C, n = _random_panel(rng, v)
+    N = _random_ess(rng, v, n)
+    t_ix = rng.integers(0, 3, size=v).astype(np.int32)
+    th = hetcor_threshold(1e-3)
+    G0 = np.ones((v, v), np.int32)
+    local = hetcor_skeleton(C, G0, N, th, 3, time_index=t_ix)
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(cupc, "LOCAL_LEVELS", ())
+        scan = cupc.hetcor_skeleton(C, G0, N, th, 3, time_index=t_ix)
+    np.testing.assert_array_equal(local.G, scan.G)
