@@ -8,15 +8,19 @@ Sharding layout (axis name given by the caller, conventionally ``marker``):
 
 * correlation panel: the contingency/covariance matmuls are sharded over
   marker ROW slabs — each device computes (3·m/D, n) x (n, 3·m) counts on
-  its slab — and the finished (v, v) panel is all-gathered to every device.
-  Replicating the panel is deliberate: the level kernels read arbitrary
-  (x, y, S) entries, and one v5e chip holds an 11k-variable f32 panel in
-  <0.5 GB of HBM (the reference's ~9.3 GB working set, `cuPC-S.cu:85-95`,
-  is dominated by the n²·ML sepset array, which lives on the host here).
+  its slab — and the finished (v, v) panel is all-gathered to every device
+  (`ShardedEngine`). Replication is the latency-optimal default: the level
+  kernels read arbitrary (x, y, S) entries, and one v5e chip holds an
+  11k-variable f32 panel in <0.5 GB of HBM (the reference's ~9.3 GB working
+  set, `cuPC-S.cu:85-95`, is dominated by the n²·ML sepset array, which
+  lives on the host here). For blocks beyond one chip's HBM,
+  `RowShardedEngine` keeps the panel split in (vp/D, vp) stripes and feeds
+  every level kernel through a ppermute ring (see the row-sharded section
+  below).
 * level 1: the dense min-|rho| sweep is sharded over x-row slabs.
-* levels >= 2: `level_scan_minrho` / `level_scan_hetcor` node tiles are
-  sharded over the mesh axis — each device enumerates the conditioning sets
-  of its node shard; results are all-gathered.
+* levels >= 2: the local-panel sweeps / combination scans shard node tiles
+  over the mesh axis — each device covers the conditioning sets of its node
+  shard; results are all-gathered.
 
 Every reduction stays per-(node, neighbour); device placement changes which
 chip computes a row, never the row's value — block outputs are byte-identical
