@@ -3,8 +3,10 @@ from cigwas_tpu.mr.competitors import (
     gwas_associations,
     mr_egger,
     mr_ivw,
+    mr_presso,
     run_mr_benchmark,
     run_pairwise_mr_analyses,
+    run_presso_analyses,
 )
 
 __all__ = [
@@ -14,6 +16,8 @@ __all__ = [
     "gwas_associations",
     "mr_ivw",
     "mr_egger",
+    "mr_presso",
     "run_pairwise_mr_analyses",
+    "run_presso_analyses",
     "run_mr_benchmark",
 ]

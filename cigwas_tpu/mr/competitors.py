@@ -17,9 +17,13 @@ then every ordered trait pair is analysed with a univariable MR estimator
   the weighted design, as in :mod:`cigwas_tpu.mr.mvivw` — close to but not
   bit-identical to the R packages' lmrob backend.
 
-CAUSE and MR-PRESSO are external R packages with no local equivalent and
-are intentionally out of scope (`run_mr.R:96-135, 214-248`); the harness
-reports IVW/Egger alongside CI-GWAS's own MVIVW for the same simulated DAG.
+MR-PRESSO is implemented natively (:func:`mr_presso`) with the semantics
+the benchmark invokes (`run_mr.R:231-240`: OUTLIERtest=T, DISTORTIONtest=T,
+NbDistribution=1000, SignifThreshold=0.1); Monte-Carlo p-values cannot be
+bit-identical to the R package's RNG stream, so tests pin the method's
+contracts (null calibration, planted-outlier detection and correction)
+instead of golden values. CAUSE is a full external variational-Bayes R
+package and stays out of scope (`run_mr.R:96-135`).
 """
 
 from __future__ import annotations
@@ -133,6 +137,152 @@ def mr_egger(bx, bxse, by, byse, robust: bool = False) -> MrResult:
     return MrResult(-1, -1, p, p_het, est, q, j)
 
 
+@dataclass
+class MrPressoResult:
+    """`MRPRESSO::mr_presso` output as consumed by `run_mr.R:241-247`:
+    the "Main MR results" raw and outlier-corrected rows plus the global
+    test p-value; `run_mr.R` keeps the corrected row when it exists and
+    falls back to the raw row otherwise."""
+
+    exposure: int = -1
+    outcome: int = -1
+    raw_est: float = np.nan
+    raw_se: float = np.nan
+    raw_p: float = np.nan
+    corrected_est: float = np.nan
+    corrected_se: float = np.nan
+    corrected_p: float = np.nan
+    global_rss: float = np.nan
+    global_p: float = np.nan
+    outliers: tuple = ()
+    outlier_p: np.ndarray | None = None  # Bonferroni-corrected, per SNP
+    distortion_coef: float = np.nan
+    distortion_p: float = np.nan
+    num_ivs: int = 0
+
+    @property
+    def est(self) -> float:
+        """The estimate `run_mr.R` records (corrected if defined)."""
+        return self.raw_est if np.isnan(self.corrected_p) else self.corrected_est
+
+    @property
+    def p(self) -> float:
+        return self.raw_p if np.isnan(self.corrected_p) else self.corrected_p
+
+
+def _ivw_slope_t(bx, by, w, dof_loss: int = 1):
+    """Weighted no-intercept regression by/bx with lm()-style t inference
+    (multiplicative random effects, no max(1, .) truncation) — what
+    MRPRESSO's `lm(O ~ E - 1, weights = 1/SdOutcome^2)` reports."""
+    from scipy.stats import t as tdist
+
+    sxx = float((w * bx * bx).sum())
+    slope = float((w * bx * by).sum()) / sxx
+    j = len(bx)
+    dof = j - dof_loss
+    rss = float((w * (by - slope * bx) ** 2).sum())
+    if dof <= 0 or sxx <= 0:
+        return slope, np.nan, np.nan
+    se = np.sqrt(rss / dof / sxx)
+    p = float(2 * tdist.sf(abs(slope / se), dof)) if se > 0 else np.nan
+    return slope, float(se), p
+
+
+def _loo_slopes(bx, by, w):
+    """Leave-one-out weighted no-intercept slopes, vectorized over the
+    left-out index (last axis). bx/by/w may be (J,) or (K, J)."""
+    sxy = (w * bx * by).sum(axis=-1, keepdims=True)
+    sxx = (w * bx * bx).sum(axis=-1, keepdims=True)
+    den = sxx - w * bx * bx
+    return (sxy - w * bx * by) / np.where(den == 0, np.nan, den)
+
+
+def mr_presso(
+    bx,
+    bxse,
+    by,
+    byse,
+    n_dist: int = 1000,
+    signif: float = 0.1,
+    distortion: bool = True,
+    seed: int | np.random.Generator | None = 0,
+) -> MrPressoResult:
+    """MR-PRESSO (Verbanck et al. 2018) for one exposure/outcome pair.
+
+    The three components of `MRPRESSO::mr_presso` as the reference invokes
+    it (`run_mr.R:231-240`):
+
+    1. **Global test**: observed residual sum of squares under leave-one-out
+       IVW slopes, compared against ``n_dist`` parametric simulations
+       (exposure drawn ``N(bx_i, bxse_i)``, outcome ``N(b_loo(-i) * bx*_i,
+       byse_i)``, LOO slopes re-estimated per simulation);
+       ``global_p`` = fraction of simulated RSS above observed.
+    2. **Outlier test** (when the global test is significant at ``signif``):
+       per-SNP simulated squared-residual distribution vs the observed
+       squared residual, Bonferroni-corrected; outliers are removed and the
+       IVW estimate recomputed ("Outlier-corrected" row).
+    3. **Distortion test**: the corrected estimate against estimates from
+       removing equally many random SNPs; reports the distortion
+       coefficient (percent) and its empirical p-value.
+
+    Monte-Carlo draws use numpy's RNG, so p-values match the R package in
+    distribution, not bit-for-bit.
+    """
+    rng = seed if isinstance(seed, np.random.Generator) else np.random.default_rng(seed)
+    bx, bxse, by, byse = (
+        np.asarray(v, dtype=np.float64) for v in (bx, bxse, by, byse)
+    )
+    j = len(bx)
+    res = MrPressoResult(num_ivs=j)
+    res.raw_est, res.raw_se, res.raw_p = _ivw_slope_t(bx, by, byse**-2)
+    if j < 4:
+        # MRPRESSO requires > 3 instruments ("Not enough intrumental
+        # variables"); keep the raw row only
+        return res
+
+    w = byse**-2.0
+    b_loo = _loo_slopes(bx, by, w).reshape(j)
+    res_obs2 = w * (by - b_loo * bx) ** 2  # per-SNP weighted sq residual
+    rss_obs = float(res_obs2.sum())
+    res.global_rss = rss_obs
+
+    # parametric simulations, vectorized over replicates
+    bx_sim = rng.normal(bx, bxse, size=(n_dist, j))
+    by_sim = rng.normal(b_loo * bx_sim, byse, size=(n_dist, j))
+    b_loo_sim = _loo_slopes(bx_sim, by_sim, w)
+    res_sim2 = w * (by_sim - b_loo_sim * bx_sim) ** 2  # (n_dist, j)
+    rss_sim = res_sim2.sum(axis=1)
+    res.global_p = float((rss_sim > rss_obs).mean())
+
+    if res.global_p >= signif:
+        return res
+
+    # outlier test: empirical upper tail per SNP, Bonferroni over J
+    p_out = (res_sim2 > res_obs2[None, :]).mean(axis=0) * j
+    res.outlier_p = p_out
+    outliers = np.where(p_out < signif)[0]
+    res.outliers = tuple(int(i) for i in outliers)
+    keep = np.setdiff1d(np.arange(j), outliers)
+    if len(outliers) == 0 or len(keep) < 2:
+        return res
+    res.corrected_est, res.corrected_se, res.corrected_p = _ivw_slope_t(
+        bx[keep], by[keep], w[keep]
+    )
+
+    if distortion:
+        # estimates with |outliers| random SNPs removed instead
+        k = len(outliers)
+        idx = np.argsort(rng.random((n_dist, j)), axis=1)[:, k:]  # keep sets
+        bxr, byr, wr = bx[idx], by[idx], w[idx]
+        b_exp = (wr * bxr * byr).sum(axis=1) / (wr * bxr * bxr).sum(axis=1)
+        d_obs = 100.0 * (res.raw_est - res.corrected_est) / abs(res.corrected_est)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            d_exp = 100.0 * (res.raw_est - b_exp) / np.abs(b_exp)
+        res.distortion_coef = float(d_obs)
+        res.distortion_p = float((np.abs(d_exp) > abs(d_obs)).mean())
+    return res
+
+
 def run_pairwise_mr_analyses(
     g_it: np.ndarray,
     effects: np.ndarray,
@@ -169,6 +319,39 @@ def run_pairwise_mr_analyses(
     return out
 
 
+def run_presso_analyses(
+    g_it: np.ndarray,
+    effects: np.ndarray,
+    ses: np.ndarray,
+    n_dist: int = 1000,
+    signif: float = 0.1,
+    seed: int = 0,
+) -> list[MrPressoResult]:
+    """The benchmark's MR-PRESSO loop (`run_mr.R:216-248`): for every
+    ordered trait pair, instruments are ALL SNPs associated with the
+    exposure (no pleiotropy-size filter, unlike the IVW/Egger loop —
+    `run_mr.R:220` indexes `G_it[, tr1]` directly)."""
+    g_it = np.asarray(g_it).astype(bool)
+    m, p = g_it.shape
+    rng = np.random.default_rng(seed)
+    out: list[MrPressoResult] = []
+    for tr1 in range(p):
+        ivs = np.where(g_it[:, tr1])[0]
+        if len(ivs) == 0:
+            continue
+        for tr2 in range(p):
+            if tr1 == tr2:
+                continue
+            res = mr_presso(
+                effects[ivs, tr1], ses[ivs, tr1],
+                effects[ivs, tr2], ses[ivs, tr2],
+                n_dist=n_dist, signif=signif, seed=rng,
+            )
+            res.exposure, res.outcome = tr1, tr2
+            out.append(res)
+    return out
+
+
 def run_mr_benchmark(
     snps: np.ndarray,
     traits: np.ndarray,
@@ -176,10 +359,13 @@ def run_mr_benchmark(
     pleio_size: int = 100,
     min_ivs: int = 3,
     robust: bool = True,
+    presso: bool = False,
+    presso_n_dist: int = 1000,
 ) -> dict:
     """The run_mr.R flow on raw data: GWAS scan -> instrument selection ->
-    pairwise IVW + Egger. Returns {"ivw": [...], "egger": [...],
-    "g_it": (m, p) bool, "gwas": (beta, se, z, p)}."""
+    pairwise IVW + Egger (+ MR-PRESSO when ``presso``). Returns {"ivw":
+    [...], "egger": [...], "presso": [...], "g_it": (m, p) bool,
+    "gwas": (beta, se, z, p)}."""
     beta, se, z, pval = gwas_associations(snps, traits)
     g_it = pval < alpha
     return {
@@ -188,6 +374,11 @@ def run_mr_benchmark(
         ),
         "egger": run_pairwise_mr_analyses(
             g_it, beta, se, mr_egger, pleio_size, min_ivs, robust
+        ),
+        "presso": (
+            run_presso_analyses(g_it, beta, se, n_dist=presso_n_dist)
+            if presso
+            else []
         ),
         "g_it": g_it,
         "gwas": (beta, se, z, pval),

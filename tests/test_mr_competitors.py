@@ -8,7 +8,9 @@ from cigwas_tpu.mr import (
     gwas_associations,
     mr_egger,
     mr_ivw,
+    mr_presso,
     run_mr_benchmark,
+    run_presso_analyses,
 )
 
 
@@ -86,6 +88,73 @@ def test_benchmark_recovers_planted_edge(robust):
         for pair in ((2, 0), (2, 1)):
             if pair in res:
                 assert res[pair].p > 1e-3, (key, pair, res[pair])
+
+
+def _presso_summary_stats(seed=5, j=30, beta=0.3, outliers=(), pleio=0.5):
+    """Summary-stat pair with optional planted horizontal-pleiotropy
+    outliers (direct instrument->outcome effects bypassing the exposure)."""
+    rng = np.random.default_rng(seed)
+    bx = rng.uniform(0.2, 0.6, j)
+    bxse = np.full(j, 0.02)
+    byse = np.full(j, 0.02)
+    by = beta * bx + rng.normal(size=j) * byse
+    for i in outliers:
+        by[i] += pleio
+    return bx, bxse, by, byse
+
+
+def test_presso_null_is_calibrated_and_matches_ivw():
+    bx, bxse, by, byse = _presso_summary_stats()
+    res = mr_presso(bx, bxse, by, byse, n_dist=600, seed=7)
+    # no pleiotropy: the global RSS test must not fire, no outliers, and
+    # the raw row is a weighted no-intercept regression = fixed-effect IVW
+    assert res.global_p >= 0.1, res.global_p
+    assert res.outliers == ()
+    w = 1 / byse**2
+    expect = (w * bx * by).sum() / (w * bx * bx).sum()
+    assert np.isclose(res.raw_est, expect)
+    assert np.isnan(res.corrected_p)  # run_mr.R falls back to the raw row
+    assert np.isclose(res.est, res.raw_est)
+    assert abs(res.raw_est - 0.3) < 0.05
+
+
+def test_presso_detects_and_corrects_planted_outliers():
+    planted = (3, 17)
+    bx, bxse, by, byse = _presso_summary_stats(outliers=planted)
+    res = mr_presso(bx, bxse, by, byse, n_dist=600, seed=11)
+    assert res.global_p < 0.1  # global heterogeneity detected
+    # the planted SNPs are flagged and almost nothing else: moderate
+    # pleiotropy displaces the slope too little for non-outlier residuals
+    # to clear the Bonferroni threshold (very large outliers legitimately
+    # drag bystanders over it — the RSS design shared with the R package)
+    assert set(planted).issubset(res.outliers), res.outliers
+    assert len(res.outliers) <= 4, res.outliers
+    # correction removes the upward bias the outliers induce
+    assert res.raw_est - 0.3 > 0.05
+    assert abs(res.corrected_est - 0.3) < 0.05
+    assert res.est == res.corrected_est
+    # distortion: raw is materially displaced from corrected, and the
+    # displacement is larger than typical random-SNP-removal displacement
+    assert res.distortion_coef > 0
+    assert res.distortion_p < 0.1
+
+
+def test_presso_too_few_instruments_keeps_raw_row_only():
+    bx, bxse, by, byse = _presso_summary_stats(j=3)
+    res = mr_presso(bx, bxse, by, byse, n_dist=100)
+    assert np.isfinite(res.raw_est) and np.isnan(res.global_p)
+
+
+def test_presso_pair_loop_uses_unfiltered_instruments():
+    G, T = _simulate()
+    beta, se, z, pval = gwas_associations(G, T)
+    g_it = pval < 1e-3
+    out = run_presso_analyses(g_it, beta, se, n_dist=300)
+    res = {(r.exposure, r.outcome): r for r in out}
+    # instruments per exposure = ALL associated SNPs (run_mr.R:220)
+    assert res[(0, 1)].num_ivs == int(g_it[:, 0].sum())
+    assert res[(0, 1)].p < 1e-3
+    assert abs(res[(0, 1)].est - 0.4) < 0.15
 
 
 def test_instrument_selection_pleiotropy_filter():
