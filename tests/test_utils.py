@@ -49,3 +49,34 @@ def test_colex_chunk_matches_unrank():
     chunk = colex_combinations_chunk(5, 10, 4)
     for i in range(10):
         assert list(chunk[i]) == colex_unrank(5 + i, 4)
+
+
+def test_vis_corr_plot_scatter():
+    """`cigwas_tpu.vis.corr_plot` reads triangular f32 dumps and renders
+    the reference's QC scatter (`py-vis/vis.py:23-52`)."""
+    import os
+    import tempfile
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import numpy as np
+
+    from cigwas_tpu.vis import corr_plot, read_floats_from_bin
+
+    m = 12
+    nv = m * (m - 1) // 2
+    rng = np.random.default_rng(3)
+    v1 = rng.uniform(-1, 1, nv).astype(np.float32)
+    v2 = (v1 * 0.9).astype(np.float32)
+    with tempfile.TemporaryDirectory() as td:
+        a, b = os.path.join(td, "a.bin"), os.path.join(td, "b.bin")
+        v1.tofile(a)
+        v2.tofile(b)
+        assert np.allclose(read_floats_from_bin(a, nv), v1)
+        ax = corr_plot(a, b, m, title="qc")
+        # the annotation carries the correlation of the two dumps (=1.0)
+        assert any("1.0" in t.get_text() for t in ax.texts)
+        out = os.path.join(td, "p.png")
+        ax.figure.savefig(out)
+        assert os.path.getsize(out) > 0
