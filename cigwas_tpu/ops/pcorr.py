@@ -244,63 +244,69 @@ def _pair_sweep(Cb, qb, deg_x, t_hi, y_excl, ct: int):
     complement as `cuPC-S.cu:664-699`, but every test costs O(1) fused VPU
     ops instead of a per-combination matrix inverse.
 
-    Cb: (d, d) pcorr(a, b | B) among the node's neighbours; qb: (d,)
-    pcorr(x, b | B); deg_x: live degree; pairs are restricted to
-    s < t < min(deg_x, t_hi) and y != y_excl (the level-3 outer scan passes
-    its base element). Chunked over t (the colex-major element) in blocks of
-    ct so peak memory is (ct, d, d); within a chunk the argmin runs in
-    (t, s)-major order and across chunks the merge is strictly `<` with t
-    ascending — together this selects the LOWEST COLEX RANK among ties,
-    matching the combinatorial path's chunk-scan tie-breaking.
+    NODES-IN-LANES layout: the node batch is the TRAILING axis of every
+    array, so it maps to the 128-wide vector lanes — a degree bucket of
+    width d < 128 no longer wastes (128 - d)/128 of every vector op the way
+    a trailing s-axis of size d does (measured 2.7x at d=48). The (y, t, s)
+    sweep axes live in sublanes and the chunked t loop.
 
-    Returns (rho_min (d,), t_pos (d,), s_pos (d,)) with positions into the
-    neighbour list (int32).
+    Cb: (d, d, nt) pcorr(a, b | B) among each node's neighbours; qb:
+    (d, nt) pcorr(x, b | B); deg_x: (nt,) live degrees; pairs are
+    restricted to s < t < min(deg_x, t_hi) and y != y_excl (the level-3
+    outer scan passes its base element). Chunked over t (the colex-major
+    element) in blocks of ct; within a chunk the argmin runs in (t, s)-major
+    order and across chunks the merge is strictly `<` with t ascending —
+    together this selects the LOWEST COLEX RANK among ties, matching the
+    combinatorial path's chunk-scan tie-breaking. The chunk loop runs only
+    ceil(min(max deg, t_hi) / ct) iterations — all later chunks are fully
+    masked for every node in the launch, so skipping them is exact (this is
+    the t < u tetrahedron cap when the level-3 outer scan passes t_hi = u).
+
+    Returns (rho_min (d, nt), t_pos (d, nt), s_pos (d, nt)) with positions
+    into each node's neighbour list (int32).
     """
-    d = Cb.shape[0]
+    d, _, nt = Cb.shape
     s_ix = jnp.arange(d)
-    t_cap = jnp.minimum(deg_x, t_hi)
+    t_cap = jnp.minimum(deg_x, t_hi)  # (nt,)
 
     def chunk_fn(t0):
-        Ct = jax.lax.dynamic_slice(Cb, (t0, 0), (ct, d))  # (t, s)
-        qt = jax.lax.dynamic_slice(qb, (t0,), (ct,))
-        Rt = jax.lax.rsqrt(jnp.abs(1.0 - Ct * Ct))  # (t, s)
+        Ct = jax.lax.dynamic_slice(Cb, (t0, 0, 0), (ct, d, nt))  # (t, s, nt)
+        qt = jax.lax.dynamic_slice(qb, (t0, 0), (ct, nt))  # (t, nt)
+        Rt = jax.lax.rsqrt(jnp.abs(1.0 - Ct * Ct))  # (t, s, nt)
         # first conditioning step: everything given B u {t}
-        q2 = (qb[None, :] - qt[:, None] * Ct) * (
+        q2 = (qb[None] - qt[:, None] * Ct) * (
             jax.lax.rsqrt(jnp.abs(1.0 - qt * qt))[:, None] * Rt
-        )  # (t, b) = pcorr(x, b | B u {t})
-        CtT = Ct.T  # (y, t)
-        RtT = Rt.T
-        T2 = (Cb[:, None, :] - CtT[:, :, None] * Ct[None, :, :]) * (
-            RtT[:, :, None] * Rt[None, :, :]
-        )  # (y, t, s) = pcorr(y, s | B u {t})
+        )  # (t, b, nt) = pcorr(x, b | B u {t})
+        CtT = jnp.swapaxes(Ct, 0, 1)  # (y, t, nt)
+        RtT = jnp.swapaxes(Rt, 0, 1)
+        T2 = (Cb[:, None] - CtT[:, :, None] * Ct[None]) * (
+            RtT[:, :, None] * Rt[None]
+        )  # (y, t, s, nt) = pcorr(y, s | B u {t})
+        q2T = jnp.swapaxes(q2, 0, 1)  # (y, t, nt)
         # second step: rho_{xy | B u {t, s}}
-        rho = jnp.abs(q2.T[:, :, None] - q2[None, :, :] * T2) * (
-            jax.lax.rsqrt(jnp.abs(1.0 - q2 * q2))[None, :, :]
+        rho = jnp.abs(q2T[:, :, None] - q2[None] * T2) * (
+            jax.lax.rsqrt(jnp.abs(1.0 - q2 * q2))[None]
             * jax.lax.rsqrt(jnp.abs(1.0 - T2 * T2))
-        )  # (y, t, s)
+        )  # (y, t, s, nt)
         t_glob = t0 + jnp.arange(ct)
         bad = (
-            (s_ix[None, None, :] >= t_glob[None, :, None])  # s < t
-            | (t_glob[None, :, None] >= t_cap)
-            | (s_ix[:, None, None] >= deg_x)  # y live
-            | (s_ix[:, None, None] == s_ix[None, None, :])  # y == s
-            | (s_ix[:, None, None] == t_glob[None, :, None])  # y == t
-            | (s_ix[:, None, None] == y_excl)
+            (s_ix[None, None, :, None] >= t_glob[None, :, None, None])  # s < t
+            | (t_glob[None, :, None, None] >= t_cap[None, None, None, :])
+            | (s_ix[:, None, None, None] >= deg_x[None, None, None, :])  # y live
+            | (s_ix[:, None, None, None] == s_ix[None, None, :, None])  # y == s
+            | (s_ix[:, None, None, None] == t_glob[None, :, None, None])  # y == t
+            | (s_ix[:, None, None, None] == y_excl)
         )
         rho = jnp.where(bad | ~jnp.isfinite(rho), RHO_BIG, rho)
         # axis-wise reductions (never reshape the cube: XLA fuses a
         # producer into a plain reduce, but not through a reshape — the
-        # reshape forces the (y, t, s) tensor to materialize in HBM)
-        rho_s = jnp.min(rho, axis=2)  # (y, t)
-        am_s = jnp.argmin(rho, axis=2).astype(jnp.int32)  # (y, t)
-        rmin = jnp.min(rho_s, axis=1)  # (y,)
-        am_t = jnp.argmin(rho_s, axis=1)  # (y,) first occurrence = smallest t
-        sl = jnp.take_along_axis(am_s, am_t[:, None], axis=1)[:, 0]
+        # reshape forces the (y, t, s, nt) tensor to materialize in HBM)
+        rho_s = jnp.min(rho, axis=2)  # (y, t, nt)
+        am_s = jnp.argmin(rho, axis=2).astype(jnp.int32)  # (y, t, nt)
+        rmin = jnp.min(rho_s, axis=1)  # (y, nt)
+        am_t = jnp.argmin(rho_s, axis=1)  # (y, nt) first occurrence = min t
+        sl = jnp.take_along_axis(am_s, am_t[:, None, :], axis=1)[:, 0, :]
         return rmin, t0 + am_t.astype(jnp.int32), sl
-
-    if ct == d:
-        # single chunk: no loop at all
-        return chunk_fn(0)
 
     def chunk(i, carry):
         rho0, tp0, sp0 = carry
@@ -315,11 +321,64 @@ def _pair_sweep(Cb, qb, deg_x, t_hi, y_excl, ct: int):
         )
 
     init = (
-        jnp.full((d,), RHO_BIG, jnp.float32),
-        jnp.zeros((d,), jnp.int32),
-        jnp.zeros((d,), jnp.int32),
+        jnp.full((d, nt), RHO_BIG, jnp.float32),
+        jnp.zeros((d, nt), jnp.int32),
+        jnp.zeros((d, nt), jnp.int32),
     )
-    return jax.lax.fori_loop(0, d // ct, chunk, init)
+    n_chunks = (jnp.minimum(jnp.max(deg_x), t_hi) + ct - 1) // ct
+    return jax.lax.fori_loop(0, n_chunks, chunk, init)
+
+
+@jax.jit
+def level1_local_sweep(C, node_ixs, nbrs, deg):
+    """ALL level-1 CI tests of a node tile in one dispatch.
+
+    For every node x and neighbour slot y, the minimum |rho_{xy|s}| over
+    every single conditioning neighbour s of x — the same candidate set as
+    `cal_Indepl1` (`cuPC-S.cu:486-582`) and as the dense v^3 sweep
+    (`level1_dense_minrho`), but at sum(deg^2) cost instead of v^3: at the
+    reference-default 11k block that is ~5 orders of magnitude fewer slots,
+    bounded by the local-panel gather instead of the VPU. Lanes layout
+    (nodes trailing), one recursion step. Ties break toward the smallest
+    conditioning position = smallest variable index (neighbour lists are
+    ascending), identical to the dense sweep's argmin.
+
+    Returns (rho_min (nt, d), pos (nt, d) int32 positions into the
+    neighbour list).
+    """
+    C_x = C[nbrs[:, :, None], nbrs[:, None, :]]  # (nt, d, d)
+    c_row = C[node_ixs[:, None], nbrs]  # (nt, d)
+    return level1_local_sweep_pre(C_x, c_row, deg)
+
+
+@jax.jit
+def level1_local_sweep_pre(C_x, c_row, deg):
+    """`level1_local_sweep` on pre-gathered (nt, d, d) local panels.
+
+    Bit-parity note: the arithmetic mirrors `_level1_dense_padded`'s
+    pre-scaled form `|c_xy (R_xs R_ys) - P_xs P_ys|` op for op, so the two
+    level-1 routes produce IDENTICAL rho values (the sharded engines run
+    the dense route; plain-vs-engine byte-identity tests depend on this).
+    """
+    d = c_row.shape[1]
+    Cb = jnp.transpose(C_x, (1, 2, 0))  # (s, y, nt): nodes on lanes
+    qb = c_row.T  # (b, nt)
+    Rc = jax.lax.rsqrt(jnp.abs(1.0 - Cb * Cb))  # R_ys as (s, y, nt)
+    Pc = Cb * Rc
+    Rq = jax.lax.rsqrt(jnp.abs(1.0 - qb * qb))  # R_xs as (s, nt)
+    Pq = qb * Rq
+    rho = jnp.abs(
+        qb[None] * (Rq[:, None] * Rc) - Pq[:, None] * Pc
+    )  # (s, y, nt) = |rho_{xy|s}|
+    s_ix = jnp.arange(d)
+    bad = (
+        (s_ix[:, None, None] >= deg[None, None, :])  # s live
+        | (s_ix[:, None, None] == s_ix[None, :, None])  # s == y
+    )
+    rho = jnp.where(bad | ~jnp.isfinite(rho), RHO_BIG, rho)
+    rho_min = jnp.min(rho, axis=0)  # (y, nt)
+    pos = jnp.argmin(rho, axis=0).astype(jnp.int32)
+    return rho_min.T, pos.T
 
 
 @partial(jax.jit, static_argnames=("ct",))
@@ -344,14 +403,12 @@ def level2_local_sweep(C, node_ixs, nbrs, deg, ct: int):
 def level2_local_sweep_pre(C_x, c_row, deg, ct: int):
     """`level2_local_sweep` on pre-gathered (nt, d, d) local panels."""
     d = c_row.shape[1]
-
-    def per_node(Cb, qb, deg_x):
-        rho, t_pos, s_pos = _pair_sweep(
-            Cb, qb, deg_x, jnp.int32(d), jnp.int32(d), ct
-        )
-        return rho, jnp.stack([s_pos, t_pos], axis=-1)
-
-    return jax.vmap(per_node)(C_x, c_row, deg)
+    Cb = jnp.transpose(C_x, (1, 2, 0))  # (d, d, nt): nodes on lanes
+    qb = c_row.T  # (d, nt)
+    rho, t_pos, s_pos = _pair_sweep(
+        Cb, qb, deg, jnp.int32(d), jnp.int32(d), ct
+    )
+    return rho.T, jnp.stack([s_pos.T, t_pos.T], axis=-1)
 
 
 @partial(jax.jit, static_argnames=("ct",))
@@ -375,36 +432,40 @@ def level3_local_sweep(C, node_ixs, nbrs, deg, ct: int):
 def level3_local_sweep_pre(C_x, c_row, deg, ct: int):
     """`level3_local_sweep` on pre-gathered (nt, d, d) local panels."""
     d = c_row.shape[1]
+    Cb = jnp.transpose(C_x, (1, 2, 0))  # (d, d, nt): nodes on lanes
+    qb = c_row.T  # (d, nt)
 
-    def per_node(Cb, qb, deg_x):
-        def outer(u, carry):
-            rho0, p3, p2, p1 = carry
-            cu = jax.lax.dynamic_index_in_dim(Cb, u, 0, keepdims=False)  # (d,)
-            qu = jax.lax.dynamic_index_in_dim(qb, u, 0, keepdims=False)
-            Ru = jax.lax.rsqrt(jnp.abs(1.0 - cu * cu))
-            T1 = (Cb - cu[:, None] * cu[None, :]) * (Ru[:, None] * Ru[None, :])
-            q1 = (qb - qu * cu) * (jax.lax.rsqrt(jnp.abs(1.0 - qu * qu)) * Ru)
-            rmin, tb, sb = _pair_sweep(T1, q1, deg_x, u, u, ct)
-            # u >= deg_x is not a valid conditioning variable: its local
-            # panel row holds junk from padded neighbour slots
-            better = (rmin < rho0) & (u < deg_x)
-            return (
-                jnp.where(better, rmin, rho0),
-                jnp.where(better, u, p3),
-                jnp.where(better, tb, p2),
-                jnp.where(better, sb, p1),
-            )
-
-        init = (
-            jnp.full((d,), RHO_BIG, jnp.float32),
-            jnp.zeros((d,), jnp.int32),
-            jnp.zeros((d,), jnp.int32),
-            jnp.zeros((d,), jnp.int32),
+    def outer(u, carry):
+        rho0, p3, p2, p1 = carry
+        cu = jax.lax.dynamic_index_in_dim(Cb, u, 0, keepdims=False)  # (d, nt)
+        qu = jax.lax.dynamic_index_in_dim(qb, u, 0, keepdims=False)  # (nt,)
+        Ru = jax.lax.rsqrt(jnp.abs(1.0 - cu * cu))
+        T1 = (Cb - cu[:, None] * cu[None]) * (Ru[:, None] * Ru[None])
+        q1 = (qb - qu[None] * cu) * (
+            jax.lax.rsqrt(jnp.abs(1.0 - qu * qu))[None] * Ru
         )
-        rho, p3, p2, p1 = jax.lax.fori_loop(2, d, outer, init)
-        return rho, jnp.stack([p1, p2, p3], axis=-1)
+        rmin, tb, sb = _pair_sweep(T1, q1, deg, u, u, ct)
+        # u >= deg_x is not a valid conditioning variable: its local
+        # panel row holds junk from padded neighbour slots
+        better = (rmin < rho0) & (u < deg)[None, :]
+        return (
+            jnp.where(better, rmin, rho0),
+            jnp.where(better, u, p3),
+            jnp.where(better, tb, p2),
+            jnp.where(better, sb, p1),
+        )
 
-    return jax.vmap(per_node)(C_x, c_row, deg)
+    nt = Cb.shape[2]
+    init = (
+        jnp.full((d, nt), RHO_BIG, jnp.float32),
+        jnp.zeros((d, nt), jnp.int32),
+        jnp.zeros((d, nt), jnp.int32),
+        jnp.zeros((d, nt), jnp.int32),
+    )
+    # u >= max deg over the launch contributes nothing for any node
+    u_hi = jnp.minimum(jnp.int32(d), jnp.max(deg))
+    rho, p3, p2, p1 = jax.lax.fori_loop(2, u_hi, outer, init)
+    return rho.T, jnp.stack([p1.T, p2.T, p3.T], axis=-1)
 
 
 

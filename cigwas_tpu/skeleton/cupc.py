@@ -136,11 +136,127 @@ def _run_level_dense1(C_dev, Gb: np.ndarray, rho_threshold: float):
 
 # per-launch element budget for the dense local-panel sweeps: the biggest
 # live tensor is (node_tile, ct, d, d) f32
-LOCAL_ELEM_BUDGET = 1 << 26
+LOCAL_ELEM_BUDGET = 1 << 27
+# merge a smaller degree bucket into the next one when upgrading its nodes'
+# padded width costs fewer dense slots than this: on the v5e a dispatch
+# costs ~20-25 ms of launch+fetch floor, worth ~5e8 VPU sweep slots — the
+# 2048-marker bench block collapses from ~14 launches per level to 1-3
+MERGE_SLOT_BUDGET = 1 << 29
 # levels routed through the dense local-panel recursion (`_run_level_local`)
 # instead of the combinatorial chunk scan (`_run_level`); tests monkeypatch
 # this to () to force-compare the two paths
 LOCAL_LEVELS = (2, 3)
+
+
+def _local_tile_plan(deg_all: np.ndarray, active: np.ndarray, l: int):
+    """Launch plan for the dense local-panel sweeps.
+
+    Nodes are bucketed by padded degree (multiples of 8 — the sweep walls
+    scale ~d^(l+1) while lanes pad to 128 regardless, so tight widths beat
+    pow2 buckets), then small buckets are MERGED upward while the upgrade
+    costs fewer dense slots than a dispatch floor (`MERGE_SLOT_BUDGET`),
+    and each group gets the largest node tile the element budget allows —
+    launches are the bound at production block sizes, not sweep FLOPs.
+
+    Returns [(d_pad, nodes ascending, ct, node_tile), ...]. Results are
+    d_pad-invariant: padded slots are masked out of every reduction, so
+    merging buckets never changes outputs (the parity tests vs the
+    combinatorial path run across many degrees).
+    """
+    buckets: dict = {}
+    for x in active:
+        d_pad = max(8, -(-int(deg_all[x]) // 8) * 8)
+        buckets.setdefault(d_pad, []).append(int(x))
+
+    groups: list = []
+    pend_nodes: list = []
+    pend_d = None
+    for d in sorted(buckets):
+        if pend_d is None:
+            pend_nodes, pend_d = list(buckets[d]), d
+            continue
+        upgrade = len(pend_nodes) * (d ** (l + 1) - pend_d ** (l + 1))
+        if upgrade <= MERGE_SLOT_BUDGET:
+            pend_nodes.extend(buckets[d])
+            pend_d = d
+        else:
+            groups.append((pend_d, pend_nodes))
+            pend_nodes, pend_d = list(buckets[d]), d
+    if pend_d is not None:
+        groups.append((pend_d, pend_nodes))
+
+    plan = []
+    for d_pad, nodes in groups:
+        cap = max(1, LOCAL_ELEM_BUDGET // (8 * d_pad * d_pad))
+        if cap > 1:
+            cap = 1 << (cap.bit_length() - 1)
+        node_tile = min(_next_pow2(len(nodes)), cap)
+        ct = 8
+        for c in range(d_pad, 7, -8):
+            if d_pad % c == 0 and node_tile * c * d_pad * d_pad <= LOCAL_ELEM_BUDGET:
+                ct = c
+                break
+        plan.append(
+            (d_pad, np.array(sorted(nodes), dtype=np.int32), ct, node_tile)
+        )
+    return plan
+
+
+def _run_level_local1(
+    C_dev,
+    G: np.ndarray,
+    rho_threshold: float,
+    verbose: bool = False,
+):
+    """Level 1 via the neighbour-list local sweep (lanes layout).
+
+    Same candidate set and tie-breaking as `_run_level_dense1`, at
+    sum(deg^2) cost instead of v^3 — the winning route whenever the level-1
+    max degree is small against the panel (the caller gates on it). Returns
+    (removed, (xs, ys, s_sel, rho_sel)) in the dense route's format.
+    """
+    n = G.shape[0]
+    Gb = G.astype(bool)
+    deg_all = Gb.sum(axis=1)
+    active = np.where(deg_all >= 2)[0]
+    rho_full = np.full((n, n), np.inf, dtype=np.float32)
+    sep_full = np.zeros((n, n), dtype=np.int32)
+    if active.size:
+        pending = []
+        for d_pad, nodes, _ct, node_tile in _local_tile_plan(deg_all, active, 1):
+            for s0 in range(0, len(nodes), node_tile):
+                tile = nodes[s0 : s0 + node_tile]
+                pad = node_tile - len(tile)
+                tile_p = (
+                    np.concatenate([tile, np.full(pad, tile[-1], np.int32)])
+                    if pad
+                    else tile
+                )
+                nbrs, deg = _compact_neighbors(Gb, tile_p, d_pad)
+                rho_dev, pos_dev = pcorr_ops.level1_local_sweep(
+                    C_dev, jnp.asarray(tile_p), jnp.asarray(nbrs),
+                    jnp.asarray(deg),
+                )
+                pending.append((tile, nbrs, deg, rho_dev, pos_dev))
+        for _, _, _, rho_dev, pos_dev in pending:
+            rho_dev.copy_to_host_async()
+            pos_dev.copy_to_host_async()
+        for tile, nbrs, deg, rho_dev, pos_dev in pending:
+            rho_c = np.asarray(rho_dev)
+            pos_c = np.asarray(pos_dev)
+            nt_real = len(tile)
+            d_pad = nbrs.shape[1]
+            valid = np.arange(d_pad)[None, :] < deg[:nt_real, None]
+            ri, ci = np.nonzero(valid)
+            x_idx = tile[ri]
+            y_idx = nbrs[ri, ci]
+            rho_full[x_idx, y_idx] = rho_c[ri, ci]
+            sep_full[x_idx, y_idx] = nbrs[ri, pos_c[ri, ci]]
+        if verbose:
+            print(f"[level 1] local-sweep launches: {len(pending)}")
+    side = (rho_full < rho_threshold) & Gb
+    xs, ys = np.nonzero(side)
+    return side | side.T, (xs, ys, sep_full[xs, ys], rho_full[xs, ys])
 
 
 def _run_level_local(
@@ -176,35 +292,12 @@ def _run_level_local(
     if active.size == 0:
         return removed, rho_full, sep_full
 
-    # TIGHT degree buckets (multiples of 8, the sublane quantum): the sweep
-    # walls scale ~d^(l+1) while lanes are padded to 128 regardless, so a
-    # pow2 bucket wastes up to (2x)^4 compute at level 3 — measured on the
-    # v5e, deg 45 runs 4x faster in a 48-bucket than a 64-bucket
-    buckets: dict = {}
-    for x in active:
-        d_pad = max(8, -(-int(deg_all[x]) // 8) * 8)
-        buckets.setdefault(d_pad, []).append(int(x))
-
     sweep = {2: pcorr_ops.level2_local_sweep, 3: pcorr_ops.level3_local_sweep}[l]
     if engine is not None:
         sweep = {2: engine.level2_local_sweep, 3: engine.level3_local_sweep}[l]
 
     pending = []
-    for d_pad in sorted(buckets):
-        nodes = np.array(buckets[d_pad], dtype=np.int32)
-        # pair-sweep chunk: peak live tensor is (nt, ct, d, d); ct must
-        # DIVIDE d_pad (the chunk loop runs d_pad // ct steps), so pick the
-        # largest multiple-of-8 divisor within the element budget
-        ct_cap = max(8, LOCAL_ELEM_BUDGET // (d_pad * d_pad))
-        ct = 8
-        for c in range(d_pad, 7, -8):
-            if d_pad % c == 0 and c <= ct_cap:
-                ct = c
-                break
-        node_tile = max(1, LOCAL_ELEM_BUDGET // (ct * d_pad * d_pad))
-        if node_tile > 1:
-            node_tile = 1 << (node_tile.bit_length() - 1)
-        node_tile = min(node_tile, _next_pow2(len(nodes)))
+    for d_pad, nodes, ct, node_tile in _local_tile_plan(deg_all, active, l):
         if engine is not None:
             # BYTE-IDENTITY INVARIANT: XLA's fused elementwise numerics for
             # the local sweeps depend on the batch (node-tile) shape, so the
@@ -284,11 +377,6 @@ def _run_level_local_hetcor(
     if active.size == 0:
         return removed
 
-    buckets: dict = {}
-    for x in active:
-        d_pad = max(8, -(-int(deg_all[x]) // 8) * 8)
-        buckets.setdefault(d_pad, []).append(int(x))
-
     sweep = {
         2: pcorr_ops.hetcor2_local_sweep,
         3: pcorr_ops.hetcor3_local_sweep,
@@ -301,18 +389,7 @@ def _run_level_local_hetcor(
 
     margin_full = np.full((n, n), np.inf, dtype=np.float32)
     pending = []
-    for d_pad in sorted(buckets):
-        nodes = np.array(buckets[d_pad], dtype=np.int32)
-        ct_cap = max(8, LOCAL_ELEM_BUDGET // (d_pad * d_pad))
-        ct = 8
-        for c in range(d_pad, 7, -8):
-            if d_pad % c == 0 and c <= ct_cap:
-                ct = c
-                break
-        node_tile = max(1, LOCAL_ELEM_BUDGET // (ct * d_pad * d_pad))
-        if node_tile > 1:
-            node_tile = 1 << (node_tile.bit_length() - 1)
-        node_tile = min(node_tile, _next_pow2(len(nodes)))
+    for d_pad, nodes, ct, node_tile in _local_tile_plan(deg_all, active, l):
         if engine is not None:
             # per-DEVICE shard shape == single-device launch shape (see
             # _run_level_local)
@@ -619,13 +696,24 @@ def skeleton(
         # transfer overlaps the kernel. Decisions (G) always come from the
         # device so later levels see a consistent graph.
         G0_dev = pcorr_ops.level0_screen(C_dev, jnp.float32(th[0]))
-        if min(ML, max_level) >= 1 and C_dev.shape[0] <= DENSE_L1_MAX:
+        G = np.asarray(G0_dev)
+        # level-1 routing needs the post-level-0 max degree: the local
+        # neighbour-list sweep costs sum(deg^2) vs the dense sweep's v^3,
+        # so it wins whenever degrees are small against the panel (the
+        # gather-bandwidth crossover sits near deg ~ v/16 on the v5e); the
+        # dense sweep is only dispatched when it will actually be used
+        deg0_pad = max(8, -(-int(G.sum(axis=1).max() or 0) // 8) * 8)
+        l1_local = deg0_pad <= max(128, C_dev.shape[0] // 16)
+        if (
+            min(ML, max_level) >= 1
+            and C_dev.shape[0] <= DENSE_L1_MAX
+            and not l1_local
+        ):
             pre_l1 = pcorr_ops.level1_dense_dispatch(
                 C_dev, G0_dev, float(np.tanh(float(th[1])))
             )
         if want_pmax:
             C = np.asarray(C, dtype=np.float32)
-        G = np.asarray(G0_dev)
     elif C_dev is not None:
         # sharded flow: level 0 on the replicated panel, level 1 sharded in
         # the level loop below
@@ -666,8 +754,18 @@ def skeleton(
             print(f"[skeleton] level {l}: max degree {nprime}")
         t_level = time.perf_counter() if stats is not None else 0.0
         rho_th = float(np.tanh(float(th[l])))
-        if l == 1 and (pre_l1 is not None or n <= DENSE_L1_MAX):
-            if engine is not None:
+        l1_local_now = (
+            l == 1
+            and engine is None
+            and pre_l1 is None
+            and max(8, -(-nprime // 8) * 8) <= max(128, n // 16)
+        )
+        if l1_local_now or (l == 1 and (pre_l1 is not None or n <= DENSE_L1_MAX)):
+            if l1_local_now:
+                removed, (xs, ys, s_sel, rho_sel) = _run_level_local1(
+                    C_dev, G, rho_th, verbose=verbose
+                )
+            elif engine is not None:
                 removed, (xs, ys, s_sel, rho_sel) = _run_level_dense1_engine(
                     C_dev, G, rho_th, engine
                 )
