@@ -30,6 +30,7 @@ from __future__ import annotations
 import math
 import time
 from dataclasses import dataclass
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -200,6 +201,130 @@ def _local_tile_plan(deg_all: np.ndarray, active: np.ndarray, l: int):
             (d_pad, np.array(sorted(nodes), dtype=np.int32), ct, node_tile)
         )
     return plan
+
+
+@partial(
+    jax.jit, static_argnames=("l", "d_pad", "ct", "want_rho")
+)
+def _level_local_dev_step(C, Gd, rho_th, l: int, d_pad: int, ct: int,
+                          want_rho: bool):
+    """One whole skeleton level on device: compaction, local sweep, graph
+    update — no host round trip besides the dispatch itself.
+
+    Neighbour compaction is an ascending sort of masked indices (the
+    device-side `scan_compact`, `cuPC-S.cu:6355-6432`); the sweep runs ALL
+    nodes in one launch at the level's global padded width — the dynamic
+    deg/t_hi caps inside `_pair_sweep` keep the work near the true-degree
+    volume, so a single width costs only lane/sublane padding. Padded
+    slots cannot remove edges (slot_ok) and nodes below degree l+1 have
+    every conditioning set masked, so running them is exact.
+
+    Returns (G_new, deg_new, side (n, d_pad) bool, nbrs, sep_vars
+    (n, d_pad, l), rho_min or None).
+    """
+    n = Gd.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    keys = jnp.where(Gd, iota[None, :], jnp.int32(n))
+    nbrs = jnp.sort(keys, axis=1)[:, :d_pad]
+    nbrs = jnp.where(nbrs >= n, 0, nbrs)  # pad slots -> 0 (masked via deg)
+    deg = jnp.sum(Gd, axis=1, dtype=jnp.int32)
+    C_x = C[nbrs[:, :, None], nbrs[:, None, :]]
+    c_row = C[iota[:, None], nbrs]
+    if l == 1:
+        rho_min, pos = pcorr_ops.level1_local_sweep_pre(C_x, c_row, deg)
+        pos = pos[..., None]
+    elif l == 2:
+        rho_min, pos = pcorr_ops.level2_local_sweep_pre(C_x, c_row, deg, ct=ct)
+    else:
+        rho_min, pos = pcorr_ops.level3_local_sweep_pre(C_x, c_row, deg, ct=ct)
+    slot_ok = jnp.arange(d_pad)[None, :] < deg[:, None]
+    side = (rho_min < rho_th) & slot_ok
+    rows = jnp.broadcast_to(iota[:, None], (n, d_pad))
+    side_full = jnp.zeros((n, n), bool).at[rows, nbrs].max(side)
+    removed = side_full | side_full.T
+    G_new = Gd & ~removed
+    sep_vars = jnp.take_along_axis(
+        nbrs[:, None, :], pos.reshape(n, 1, d_pad * l), axis=2
+    ).reshape(n, d_pad, l)
+    return (
+        G_new,
+        jnp.sum(G_new, axis=1, dtype=jnp.int32),
+        side,
+        nbrs,
+        sep_vars,
+        rho_min if want_rho else None,
+    )
+
+
+def _run_levels_local_dev(
+    C_dev,
+    G0_dev,
+    deg0: np.ndarray,
+    th: np.ndarray,
+    lmax: int,
+    sepset: np.ndarray,
+    pmax: np.ndarray | None,
+    verbose: bool,
+    stats: dict | None,
+):
+    """Device-resident levels 1..lmax (<= 3) of the standard skeleton.
+
+    The adjacency stays on device between levels — per level the host
+    issues ONE dispatch and fetches only the new degree vector (stop
+    condition + next level's static width); the per-slot removal masks and
+    minimizing conditioning sets are fetched asynchronously and folded
+    into `sepset`/`pmax` after each level. This removes the per-level
+    neighbour-list uploads and host compaction that dominate the remote
+    tunnel's level walls.
+
+    Returns (G_host, final_level, stopped).
+    """
+    n = int(G0_dev.shape[0])
+    Gd = G0_dev
+    deg = deg0
+    final_level, stopped = 0, False
+    for l in range(1, lmax + 1):
+        nprime = int(deg.max()) if n else 0
+        if nprime - 1 < l:
+            return np.asarray(Gd), l - 1, True
+        if verbose:
+            print(f"[skeleton] level {l}: max degree {nprime} (device loop)")
+        t_level = time.perf_counter() if stats is not None else 0.0
+        d_pad = max(8, -(-nprime // 8) * 8)
+        ct = 8
+        for c in range(d_pad, 7, -8):
+            if d_pad % c == 0 and n * c * d_pad * d_pad <= LOCAL_ELEM_BUDGET:
+                ct = c
+                break
+        if stats is not None and l >= 2:
+            stats["ci_tests"] = stats.get("ci_tests", 0) + int(
+                sum(math.comb(int(dx), l) * int(dx) for dx in deg if dx >= l + 1)
+            )
+        Gd, deg_dev, side_dev, nbrs_dev, sep_dev, rho_dev = _level_local_dev_step(
+            C_dev, Gd, jnp.float32(np.tanh(float(th[l]))), l, d_pad, ct,
+            pmax is not None,
+        )
+        for a in (side_dev, nbrs_dev, sep_dev) + (
+            (rho_dev,) if rho_dev is not None else ()
+        ):
+            a.copy_to_host_async()
+        deg = np.asarray(deg_dev)
+        side = np.asarray(side_dev)
+        nbrs = np.asarray(nbrs_dev)
+        sep_vars = np.asarray(sep_dev)
+        xs, ys_slot = np.nonzero(side)
+        if len(xs):
+            ys = nbrs[xs, ys_slot]
+            sepset[xs, ys, l:] = -1
+            sepset[xs, ys, :l] = sep_vars[xs, ys_slot]
+            if pmax is not None:
+                pmax[xs, ys] = fisher_z(np.asarray(rho_dev)[xs, ys_slot])
+        if stats is not None:
+            stats.setdefault("level_wall_s", {})[l] = (
+                time.perf_counter() - t_level
+            )
+        final_level = l
+    return np.asarray(Gd), final_level, False
 
 
 def _run_level_local1(
@@ -690,6 +815,7 @@ def skeleton(
                 C = np.pad(np.asarray(C, dtype=np.float32), ((0, pad), (0, pad)))
     th = np.asarray(thresholds, dtype=np.float32)
     pre_l1 = None
+    G0_dev = None
     if C_dev is not None and engine is None:
         # device-first flow: level-0 decisions on device, and the dense
         # level-1 sweep is dispatched BEFORE the big C fetch so the
@@ -744,7 +870,27 @@ def skeleton(
     if C_dev is None:
         C_dev = jnp.asarray(C)
     final_level = 0
-    for l in range(1, min(ML, max_level) + 1):
+    start_l = 1
+    lmax_all = min(ML, max_level)
+    deg0 = G.sum(axis=1)
+    if (
+        engine is None
+        and pre_l1 is None
+        and LOCAL_LEVELS == (2, 3)
+        and lmax_all >= 1
+        and n
+        and max(8, -(-int(deg0.max()) // 8) * 8) <= max(128, n // 16)
+    ):
+        # DEVICE-RESIDENT levels 1..3: adjacency stays on device, one
+        # dispatch per level (see _run_levels_local_dev); the host loop
+        # below picks up from level 4 (combinatorial enumeration)
+        Gd0 = G0_dev if G0_dev is not None else jnp.asarray(G)
+        G, final_level, stopped = _run_levels_local_dev(
+            C_dev, Gd0, deg0, th, min(lmax_all, 3), sepset, pmax,
+            verbose, stats,
+        )
+        start_l = (lmax_all + 1) if stopped else (final_level + 1)
+    for l in range(start_l, min(ML, max_level) + 1):
         deg = G.sum(axis=1)
         nprime = int(deg.max()) if n else 0
         if nprime - 1 < l:
@@ -814,8 +960,6 @@ def skeleton(
                 time.perf_counter() - t_level
             )
         final_level = l
-    else:
-        final_level = min(ML, max_level)
 
     # pMax post-processing (`cuPC-S.cu:424-442`): retained edges get the
     # sentinel, deleted pairs the max of both sides (full-matrix ops — the
