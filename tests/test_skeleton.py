@@ -398,3 +398,38 @@ def test_local_sweep_colex_tie_break(level, ct):
         # the conditioning sequence, ties exactly, and sorts lower in colex
         bad = (p[:, 1] == slot9) & (p[:, 0] < slot1)
         assert not bad.any()
+
+
+def test_local_tile_plan_merges_small_buckets():
+    """`_local_tile_plan`: small degree buckets merge upward while the
+    padded-width upgrade is cheaper than a dispatch floor; chunk sizes
+    divide the padded width and tiles fit the element budget."""
+    import numpy as np
+
+    from cigwas_tpu.skeleton.cupc import (
+        LOCAL_ELEM_BUDGET,
+        MERGE_SLOT_BUDGET,
+        _local_tile_plan,
+    )
+
+    deg = np.array([3] * 8 + [20] * 5 + [45] * 100 + [50] * 200)
+    active = np.arange(len(deg))
+    plan = _local_tile_plan(deg, active, 3)
+    covered = np.concatenate([nodes for _, nodes, _, _ in plan])
+    assert sorted(covered) == list(active)  # every node exactly once
+    for d_pad, nodes, ct, node_tile in plan:
+        assert d_pad % 8 == 0 and ct % 8 == 0 and d_pad % ct == 0
+        assert node_tile & (node_tile - 1) == 0  # pow2
+        assert node_tile * ct * d_pad * d_pad <= LOCAL_ELEM_BUDGET
+        assert all(deg[n] <= d_pad for n in nodes)
+    # the tiny 3/20-degree buckets merge into the 48-bucket: the upgrade
+    # costs ~13 * (48^4 - 24^4) < MERGE_SLOT_BUDGET dense slots
+    assert 13 * (48**4 - 24**4) < MERGE_SLOT_BUDGET
+    assert len(plan) <= 2
+
+    # an expensive upgrade must NOT merge: 4000 nodes at 48 would cost
+    # 4000 * (56^4 - 48^4) > budget slots to lift into the 56 bucket
+    deg2 = np.array([45] * 4000 + [55] * 50)
+    plan2 = _local_tile_plan(deg2, np.arange(len(deg2)), 3)
+    assert len(plan2) == 2
+    assert plan2[0][0] == 48 and plan2[1][0] == 56
