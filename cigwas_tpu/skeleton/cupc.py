@@ -136,8 +136,11 @@ def _run_level_dense1(C_dev, Gb: np.ndarray, rho_threshold: float):
 
 
 # per-launch element budget for the dense local-panel sweeps: the biggest
-# live tensor is (node_tile, ct, d, d) f32
-LOCAL_ELEM_BUDGET = 1 << 27
+# live tensor is (node_tile, ct, d, d) f32. Measured on the v5e: 1 << 27
+# regressed the 11k block's level 3 ~3x (the (nt, ct, d, d) intermediates
+# stop fitting the fusion working set and round-trip through HBM); 1 << 26
+# keeps them resident
+LOCAL_ELEM_BUDGET = 1 << 26
 # merge a smaller degree bucket into the next one when upgrading its nodes'
 # padded width costs fewer dense slots than this: on the v5e a dispatch
 # costs ~20-25 ms of launch+fetch floor, worth ~5e8 VPU sweep slots — the
@@ -825,11 +828,12 @@ def skeleton(
         G = np.asarray(G0_dev)
         # level-1 routing needs the post-level-0 max degree: the local
         # neighbour-list sweep costs sum(deg^2) vs the dense sweep's v^3,
-        # so it wins whenever degrees are small against the panel (the
-        # gather-bandwidth crossover sits near deg ~ v/16 on the v5e); the
+        # so it wins when degrees are small; measured on the v5e the
+        # crossover is well below the v/16 FLOP estimate (the ~2.4 GB/s
+        # gather dominates), so the gate is a fixed width of 128. The
         # dense sweep is only dispatched when it will actually be used
         deg0_pad = max(8, -(-int(G.sum(axis=1).max() or 0) // 8) * 8)
-        l1_local = deg0_pad <= max(128, C_dev.shape[0] // 16)
+        l1_local = deg0_pad <= 128
         if (
             min(ML, max_level) >= 1
             and C_dev.shape[0] <= DENSE_L1_MAX
@@ -873,13 +877,18 @@ def skeleton(
     start_l = 1
     lmax_all = min(ML, max_level)
     deg0 = G.sum(axis=1)
+    deg0_padded = max(8, -(-int(deg0.max()) // 8) * 8) if n else 8
     if (
         engine is None
         and pre_l1 is None
         and LOCAL_LEVELS == (2, 3)
         and lmax_all >= 1
         and n
-        and max(8, -(-int(deg0.max()) // 8) * 8) <= max(128, n // 16)
+        and deg0_padded <= 128
+        # single-launch-per-level working sets stay fusion-resident up to
+        # this panel size (measured on the v5e; larger panels go through
+        # the bucketed host loop whose tiles respect LOCAL_ELEM_BUDGET)
+        and n <= 4096
     ):
         # DEVICE-RESIDENT levels 1..3: adjacency stays on device, one
         # dispatch per level (see _run_levels_local_dev); the host loop
@@ -904,7 +913,7 @@ def skeleton(
             l == 1
             and engine is None
             and pre_l1 is None
-            and max(8, -(-nprime // 8) * 8) <= max(128, n // 16)
+            and max(8, -(-nprime // 8) * 8) <= 128
         )
         if l1_local_now or (l == 1 and (pre_l1 is not None or n <= DENSE_L1_MAX)):
             if l1_local_now:
