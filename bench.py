@@ -269,20 +269,28 @@ def _phase_block11k(result):
     th = threshold_array(n, 1e-4)
 
     def run(stats=None):
+        marks = {}
+        t = time.perf_counter()
         C_dev, v = corr_panel_device_tiled(bb, Y, means, stds, n)
+        marks["corr_dispatch"] = time.perf_counter() - t
+        t = time.perf_counter()
         res1 = skeleton(
             C_dev, th, 3, C_dev=C_dev, n_var=v, want_pmax=False, stats=stats
         )
+        marks["stage1"] = time.perf_counter() - t
+        t = time.perf_counter()
         keep = subset_variables(res1.G, m + p, m, 1)
         gcs = reduce_gcs(res1.G, C_dev, res1.sepset, keep, m + p, p, 3)
         res2 = skeleton(gcs.C, th, ML, want_pmax=False)
-        return res1
+        marks["reduce_stage2"] = time.perf_counter() - t
+        return res1, marks
 
     run()  # warmup/compile
     stats: dict = {}
     t0 = time.perf_counter()
-    run(stats=stats)
+    _, marks = run(stats=stats)
     result["block11k_wall_s"] = round(time.perf_counter() - t0, 2)
+    result["block11k_phase_wall_s"] = {k: round(v, 2) for k, v in marks.items()}
     lvl = stats.get("level_wall_s", {})
     result["block11k_level_wall_s"] = {k: round(v, 2) for k, v in lvl.items()}
     deep = sum(w_ for l, w_ in lvl.items() if l >= 2)

@@ -244,69 +244,69 @@ def _pair_sweep(Cb, qb, deg_x, t_hi, y_excl, ct: int):
     complement as `cuPC-S.cu:664-699`, but every test costs O(1) fused VPU
     ops instead of a per-combination matrix inverse.
 
-    NODES-IN-LANES layout: the node batch is the TRAILING axis of every
-    array, so it maps to the 128-wide vector lanes — a degree bucket of
-    width d < 128 no longer wastes (128 - d)/128 of every vector op the way
-    a trailing s-axis of size d does (measured 2.7x at d=48). The (y, t, s)
-    sweep axes live in sublanes and the chunked t loop.
+    Cb: (d, d) pcorr(a, b | B) among the node's neighbours; qb: (d,)
+    pcorr(x, b | B); deg_x: live degree; pairs are restricted to
+    s < t < min(deg_x, t_hi) and y != y_excl (the level-3 outer scan passes
+    its base element). Chunked over t (the colex-major element) in blocks of
+    ct so peak memory is (ct, d, d); within a chunk the argmin runs in
+    (t, s)-major order and across chunks the merge is strictly `<` with t
+    ascending — together this selects the LOWEST COLEX RANK among ties,
+    matching the combinatorial path's chunk-scan tie-breaking.
 
-    Cb: (d, d, nt) pcorr(a, b | B) among each node's neighbours; qb:
-    (d, nt) pcorr(x, b | B); deg_x: (nt,) live degrees; pairs are
-    restricted to s < t < min(deg_x, t_hi) and y != y_excl (the level-3
-    outer scan passes its base element). Chunked over t (the colex-major
-    element) in blocks of ct; within a chunk the argmin runs in (t, s)-major
-    order and across chunks the merge is strictly `<` with t ascending —
-    together this selects the LOWEST COLEX RANK among ties, matching the
-    combinatorial path's chunk-scan tie-breaking. The chunk loop runs only
-    ceil(min(max deg, t_hi) / ct) iterations — all later chunks are fully
-    masked for every node in the launch, so skipping them is exact (this is
-    the t < u tetrahedron cap when the level-3 outer scan passes t_hi = u).
+    Loop bounds are STATIC: an experiment that capped the chunk loop at
+    ceil(min(max deg, t_hi)/ct) and moved nodes onto the lane axis measured
+    2.4x SLOWER level-3 walls at the 11k block — XLA pipelines/unrolls the
+    static fori_loop but not data-dependent while loops (README "Level 1-3
+    routing").
 
-    Returns (rho_min (d, nt), t_pos (d, nt), s_pos (d, nt)) with positions
-    into each node's neighbour list (int32).
+    Returns (rho_min (d,), t_pos (d,), s_pos (d,)) with positions into the
+    neighbour list (int32).
     """
-    d, _, nt = Cb.shape
+    d = Cb.shape[0]
     s_ix = jnp.arange(d)
-    t_cap = jnp.minimum(deg_x, t_hi)  # (nt,)
+    t_cap = jnp.minimum(deg_x, t_hi)
 
     def chunk_fn(t0):
-        Ct = jax.lax.dynamic_slice(Cb, (t0, 0, 0), (ct, d, nt))  # (t, s, nt)
-        qt = jax.lax.dynamic_slice(qb, (t0, 0), (ct, nt))  # (t, nt)
-        Rt = jax.lax.rsqrt(jnp.abs(1.0 - Ct * Ct))  # (t, s, nt)
+        Ct = jax.lax.dynamic_slice(Cb, (t0, 0), (ct, d))  # (t, s)
+        qt = jax.lax.dynamic_slice(qb, (t0,), (ct,))
+        Rt = jax.lax.rsqrt(jnp.abs(1.0 - Ct * Ct))  # (t, s)
         # first conditioning step: everything given B u {t}
-        q2 = (qb[None] - qt[:, None] * Ct) * (
+        q2 = (qb[None, :] - qt[:, None] * Ct) * (
             jax.lax.rsqrt(jnp.abs(1.0 - qt * qt))[:, None] * Rt
-        )  # (t, b, nt) = pcorr(x, b | B u {t})
-        CtT = jnp.swapaxes(Ct, 0, 1)  # (y, t, nt)
-        RtT = jnp.swapaxes(Rt, 0, 1)
-        T2 = (Cb[:, None] - CtT[:, :, None] * Ct[None]) * (
-            RtT[:, :, None] * Rt[None]
-        )  # (y, t, s, nt) = pcorr(y, s | B u {t})
-        q2T = jnp.swapaxes(q2, 0, 1)  # (y, t, nt)
+        )  # (t, b) = pcorr(x, b | B u {t})
+        CtT = Ct.T  # (y, t)
+        RtT = Rt.T
+        T2 = (Cb[:, None, :] - CtT[:, :, None] * Ct[None, :, :]) * (
+            RtT[:, :, None] * Rt[None, :, :]
+        )  # (y, t, s) = pcorr(y, s | B u {t})
         # second step: rho_{xy | B u {t, s}}
-        rho = jnp.abs(q2T[:, :, None] - q2[None] * T2) * (
-            jax.lax.rsqrt(jnp.abs(1.0 - q2 * q2))[None]
+        rho = jnp.abs(q2.T[:, :, None] - q2[None, :, :] * T2) * (
+            jax.lax.rsqrt(jnp.abs(1.0 - q2 * q2))[None, :, :]
             * jax.lax.rsqrt(jnp.abs(1.0 - T2 * T2))
-        )  # (y, t, s, nt)
+        )  # (y, t, s)
         t_glob = t0 + jnp.arange(ct)
         bad = (
-            (s_ix[None, None, :, None] >= t_glob[None, :, None, None])  # s < t
-            | (t_glob[None, :, None, None] >= t_cap[None, None, None, :])
-            | (s_ix[:, None, None, None] >= deg_x[None, None, None, :])  # y live
-            | (s_ix[:, None, None, None] == s_ix[None, None, :, None])  # y == s
-            | (s_ix[:, None, None, None] == t_glob[None, :, None, None])  # y == t
-            | (s_ix[:, None, None, None] == y_excl)
+            (s_ix[None, None, :] >= t_glob[None, :, None])  # s < t
+            | (t_glob[None, :, None] >= t_cap)
+            | (s_ix[:, None, None] >= deg_x)  # y live
+            | (s_ix[:, None, None] == s_ix[None, None, :])  # y == s
+            | (s_ix[:, None, None] == t_glob[None, :, None])  # y == t
+            | (s_ix[:, None, None] == y_excl)
         )
         rho = jnp.where(bad | ~jnp.isfinite(rho), RHO_BIG, rho)
         # axis-wise reductions (never reshape the cube: XLA fuses a
         # producer into a plain reduce, but not through a reshape — the
-        # reshape forces the (y, t, s, nt) tensor to materialize in HBM)
-        rho_s = jnp.min(rho, axis=2)  # (y, t, nt)
-        am_s = jnp.argmin(rho, axis=2).astype(jnp.int32)  # (y, t, nt)
-        rmin = jnp.min(rho_s, axis=1)  # (y, nt)
-        am_t = jnp.argmin(rho_s, axis=1)  # (y, nt) first occurrence = min t
-        sl = jnp.take_along_axis(am_s, am_t[:, None, :], axis=1)[:, 0, :]
+        # reshape forces the (y, t, s) tensor to materialize in HBM)
+        rho_s = jnp.min(rho, axis=2)  # (y, t)
+        am_s = jnp.argmin(rho, axis=2).astype(jnp.int32)  # (y, t)
+        rmin = jnp.min(rho_s, axis=1)  # (y,)
+        am_t = jnp.argmin(rho_s, axis=1)  # (y,) first occurrence = smallest t
+        sl = jnp.take_along_axis(am_s, am_t[:, None], axis=1)[:, 0]
         return rmin, t0 + am_t.astype(jnp.int32), sl
+
+    if ct == d:
+        # single chunk: no loop at all
+        return chunk_fn(0)
 
     def chunk(i, carry):
         rho0, tp0, sp0 = carry
@@ -321,12 +321,11 @@ def _pair_sweep(Cb, qb, deg_x, t_hi, y_excl, ct: int):
         )
 
     init = (
-        jnp.full((d, nt), RHO_BIG, jnp.float32),
-        jnp.zeros((d, nt), jnp.int32),
-        jnp.zeros((d, nt), jnp.int32),
+        jnp.full((d,), RHO_BIG, jnp.float32),
+        jnp.zeros((d,), jnp.int32),
+        jnp.zeros((d,), jnp.int32),
     )
-    n_chunks = (jnp.minimum(jnp.max(deg_x), t_hi) + ct - 1) // ct
-    return jax.lax.fori_loop(0, n_chunks, chunk, init)
+    return jax.lax.fori_loop(0, d // ct, chunk, init)
 
 
 @jax.jit
@@ -403,12 +402,14 @@ def level2_local_sweep(C, node_ixs, nbrs, deg, ct: int):
 def level2_local_sweep_pre(C_x, c_row, deg, ct: int):
     """`level2_local_sweep` on pre-gathered (nt, d, d) local panels."""
     d = c_row.shape[1]
-    Cb = jnp.transpose(C_x, (1, 2, 0))  # (d, d, nt): nodes on lanes
-    qb = c_row.T  # (d, nt)
-    rho, t_pos, s_pos = _pair_sweep(
-        Cb, qb, deg, jnp.int32(d), jnp.int32(d), ct
-    )
-    return rho.T, jnp.stack([s_pos.T, t_pos.T], axis=-1)
+
+    def per_node(Cb, qb, deg_x):
+        rho, t_pos, s_pos = _pair_sweep(
+            Cb, qb, deg_x, jnp.int32(d), jnp.int32(d), ct
+        )
+        return rho, jnp.stack([s_pos, t_pos], axis=-1)
+
+    return jax.vmap(per_node)(C_x, c_row, deg)
 
 
 @partial(jax.jit, static_argnames=("ct",))
@@ -432,40 +433,36 @@ def level3_local_sweep(C, node_ixs, nbrs, deg, ct: int):
 def level3_local_sweep_pre(C_x, c_row, deg, ct: int):
     """`level3_local_sweep` on pre-gathered (nt, d, d) local panels."""
     d = c_row.shape[1]
-    Cb = jnp.transpose(C_x, (1, 2, 0))  # (d, d, nt): nodes on lanes
-    qb = c_row.T  # (d, nt)
 
-    def outer(u, carry):
-        rho0, p3, p2, p1 = carry
-        cu = jax.lax.dynamic_index_in_dim(Cb, u, 0, keepdims=False)  # (d, nt)
-        qu = jax.lax.dynamic_index_in_dim(qb, u, 0, keepdims=False)  # (nt,)
-        Ru = jax.lax.rsqrt(jnp.abs(1.0 - cu * cu))
-        T1 = (Cb - cu[:, None] * cu[None]) * (Ru[:, None] * Ru[None])
-        q1 = (qb - qu[None] * cu) * (
-            jax.lax.rsqrt(jnp.abs(1.0 - qu * qu))[None] * Ru
-        )
-        rmin, tb, sb = _pair_sweep(T1, q1, deg, u, u, ct)
-        # u >= deg_x is not a valid conditioning variable: its local
-        # panel row holds junk from padded neighbour slots
-        better = (rmin < rho0) & (u < deg)[None, :]
-        return (
-            jnp.where(better, rmin, rho0),
-            jnp.where(better, u, p3),
-            jnp.where(better, tb, p2),
-            jnp.where(better, sb, p1),
-        )
+    def per_node(Cb, qb, deg_x):
+        def outer(u, carry):
+            rho0, p3, p2, p1 = carry
+            cu = jax.lax.dynamic_index_in_dim(Cb, u, 0, keepdims=False)  # (d,)
+            qu = jax.lax.dynamic_index_in_dim(qb, u, 0, keepdims=False)
+            Ru = jax.lax.rsqrt(jnp.abs(1.0 - cu * cu))
+            T1 = (Cb - cu[:, None] * cu[None, :]) * (Ru[:, None] * Ru[None, :])
+            q1 = (qb - qu * cu) * (jax.lax.rsqrt(jnp.abs(1.0 - qu * qu)) * Ru)
+            rmin, tb, sb = _pair_sweep(T1, q1, deg_x, u, u, ct)
+            # u >= deg_x is not a valid conditioning variable: its local
+            # panel row holds junk from padded neighbour slots
+            better = (rmin < rho0) & (u < deg_x)
+            return (
+                jnp.where(better, rmin, rho0),
+                jnp.where(better, u, p3),
+                jnp.where(better, tb, p2),
+                jnp.where(better, sb, p1),
+            )
 
-    nt = Cb.shape[2]
-    init = (
-        jnp.full((d, nt), RHO_BIG, jnp.float32),
-        jnp.zeros((d, nt), jnp.int32),
-        jnp.zeros((d, nt), jnp.int32),
-        jnp.zeros((d, nt), jnp.int32),
-    )
-    # u >= max deg over the launch contributes nothing for any node
-    u_hi = jnp.minimum(jnp.int32(d), jnp.max(deg))
-    rho, p3, p2, p1 = jax.lax.fori_loop(2, u_hi, outer, init)
-    return rho.T, jnp.stack([p1.T, p2.T, p3.T], axis=-1)
+        init = (
+            jnp.full((d,), RHO_BIG, jnp.float32),
+            jnp.zeros((d,), jnp.int32),
+            jnp.zeros((d,), jnp.int32),
+            jnp.zeros((d,), jnp.int32),
+        )
+        rho, p3, p2, p1 = jax.lax.fori_loop(2, d, outer, init)
+        return rho, jnp.stack([p1, p2, p3], axis=-1)
+
+    return jax.vmap(per_node)(C_x, c_row, deg)
 
 
 
