@@ -289,7 +289,7 @@ def _run_levels_local_dev(
     for l in range(1, lmax + 1):
         nprime = int(deg.max()) if n else 0
         if nprime - 1 < l:
-            return np.asarray(Gd), l - 1, True
+            return _fetch_bool_packed(Gd), l - 1, True
         if verbose:
             print(f"[skeleton] level {l}: max degree {nprime} (device loop)")
         t_level = time.perf_counter() if stats is not None else 0.0
@@ -327,7 +327,15 @@ def _run_levels_local_dev(
                 time.perf_counter() - t_level
             )
         final_level = l
-    return np.asarray(Gd), final_level, False
+    return _fetch_bool_packed(Gd), final_level, False
+
+
+def _fetch_bool_packed(Gd) -> np.ndarray:
+    """Fetch a device (n, n) bool adjacency as packed bits (8x less tunnel
+    traffic — at the 11k block the raw bool fetch alone costs seconds)."""
+    n = int(Gd.shape[0])
+    packed = np.asarray(jnp.packbits(Gd, axis=1))
+    return np.unpackbits(packed, axis=1, count=n).astype(bool)
 
 
 def _run_level_local1(
@@ -825,7 +833,7 @@ def skeleton(
         # transfer overlaps the kernel. Decisions (G) always come from the
         # device so later levels see a consistent graph.
         G0_dev = pcorr_ops.level0_screen(C_dev, jnp.float32(th[0]))
-        G = np.asarray(G0_dev)
+        G = _fetch_bool_packed(G0_dev)
         # level-1 routing needs the post-level-0 max degree: the local
         # neighbour-list sweep costs sum(deg^2) vs the dense sweep's v^3,
         # so it wins when degrees are small; measured on the v5e the
@@ -850,7 +858,7 @@ def skeleton(
         G0_dev = pcorr_ops.level0_screen(C_dev, jnp.float32(th[0]))
         if want_pmax:
             C = np.asarray(C, dtype=np.float32)
-        G = np.asarray(G0_dev)
+        G = _fetch_bool_packed(G0_dev)
     else:
         C = np.asarray(C, dtype=np.float32)
         G = None
