@@ -28,6 +28,7 @@ shared NoEdgeFlag early exit).
 from __future__ import annotations
 
 import math
+import os
 import time
 from dataclasses import dataclass
 from functools import partial
@@ -150,6 +151,17 @@ MERGE_SLOT_BUDGET = 1 << 29
 # instead of the combinatorial chunk scan (`_run_level`); tests monkeypatch
 # this to () to force-compare the two paths
 LOCAL_LEVELS = (2, 3)
+# largest panel routed through the device-resident level loop
+# (`_run_levels_local_dev`): single-launch-per-level working sets stay
+# fusion-resident up to this size (measured on the v5e; larger panels go
+# through the bucketed host loop whose tiles respect LOCAL_ELEM_BUDGET).
+# Probes/tests override via env or module attribute.
+DEV_RESIDENT_MAX = int(os.environ.get("CIGWAS_DEV_RESIDENT_MAX", 4096))
+# largest padded level-1 max degree for which level 1 runs as the
+# neighbour-list local sweep (sum(deg^2) work) instead of the dense v^3
+# sweep; measured on the v5e the crossover is well below the v/16 FLOP
+# estimate because the ~2.4 GB/s panel gather dominates
+L1_LOCAL_MAX_WIDTH = int(os.environ.get("CIGWAS_L1_LOCAL_MAX_WIDTH", 128))
 
 
 def _local_tile_plan(deg_all: np.ndarray, active: np.ndarray, l: int):
@@ -289,7 +301,7 @@ def _run_levels_local_dev(
     for l in range(1, lmax + 1):
         nprime = int(deg.max()) if n else 0
         if nprime - 1 < l:
-            return _fetch_bool_packed(Gd), l - 1, True
+            return _final_fetch(Gd, stats), l - 1, True
         if verbose:
             print(f"[skeleton] level {l}: max degree {nprime} (device loop)")
         t_level = time.perf_counter() if stats is not None else 0.0
@@ -327,7 +339,15 @@ def _run_levels_local_dev(
                 time.perf_counter() - t_level
             )
         final_level = l
-    return _fetch_bool_packed(Gd), final_level, False
+    return _final_fetch(Gd, stats), final_level, False
+
+
+def _final_fetch(Gd, stats: dict | None) -> np.ndarray:
+    t_mark = time.perf_counter() if stats is not None else 0.0
+    G = _fetch_bool_packed(Gd)
+    if stats is not None:
+        stats["final_fetch_s"] = time.perf_counter() - t_mark
+    return G
 
 
 def _fetch_bool_packed(Gd) -> np.ndarray:
@@ -832,16 +852,19 @@ def skeleton(
         # level-1 sweep is dispatched BEFORE the big C fetch so the
         # transfer overlaps the kernel. Decisions (G) always come from the
         # device so later levels see a consistent graph.
+        t_mark = time.perf_counter() if stats is not None else 0.0
         G0_dev = pcorr_ops.level0_screen(C_dev, jnp.float32(th[0]))
         G = _fetch_bool_packed(G0_dev)
+        if stats is not None:
+            # includes waiting out any in-flight async corr-panel compute
+            # the caller dispatched: the first sync pays for it here
+            stats["l0_wall_s"] = time.perf_counter() - t_mark
         # level-1 routing needs the post-level-0 max degree: the local
         # neighbour-list sweep costs sum(deg^2) vs the dense sweep's v^3,
-        # so it wins when degrees are small; measured on the v5e the
-        # crossover is well below the v/16 FLOP estimate (the ~2.4 GB/s
-        # gather dominates), so the gate is a fixed width of 128. The
+        # so it wins when degrees are small (see L1_LOCAL_MAX_WIDTH). The
         # dense sweep is only dispatched when it will actually be used
         deg0_pad = max(8, -(-int(G.sum(axis=1).max() or 0) // 8) * 8)
-        l1_local = deg0_pad <= 128
+        l1_local = deg0_pad <= L1_LOCAL_MAX_WIDTH
         if (
             min(ML, max_level) >= 1
             and C_dev.shape[0] <= DENSE_L1_MAX
@@ -851,7 +874,10 @@ def skeleton(
                 C_dev, G0_dev, float(np.tanh(float(th[1])))
             )
         if want_pmax:
+            t_mark = time.perf_counter() if stats is not None else 0.0
             C = np.asarray(C, dtype=np.float32)
+            if stats is not None:
+                stats["c_fetch_wall_s"] = time.perf_counter() - t_mark
     elif C_dev is not None:
         # sharded flow: level 0 on the replicated panel, level 1 sharded in
         # the level loop below
@@ -893,10 +919,7 @@ def skeleton(
         and lmax_all >= 1
         and n
         and deg0_padded <= 128
-        # single-launch-per-level working sets stay fusion-resident up to
-        # this panel size (measured on the v5e; larger panels go through
-        # the bucketed host loop whose tiles respect LOCAL_ELEM_BUDGET)
-        and n <= 4096
+        and n <= DEV_RESIDENT_MAX
     ):
         # DEVICE-RESIDENT levels 1..3: adjacency stays on device, one
         # dispatch per level (see _run_levels_local_dev); the host loop
@@ -921,7 +944,7 @@ def skeleton(
             l == 1
             and engine is None
             and pre_l1 is None
-            and max(8, -(-nprime // 8) * 8) <= 128
+            and max(8, -(-nprime // 8) * 8) <= L1_LOCAL_MAX_WIDTH
         )
         if l1_local_now or (l == 1 and (pre_l1 is not None or n <= DENSE_L1_MAX)):
             if l1_local_now:
