@@ -597,7 +597,22 @@ def hetcor2_local_sweep(C, N, t_ix, node_ixs, nbrs, deg, th, ct: int):
     Cb, qb, Nbv, Nbc, nrv, nrc, tn, t_x = _hetcor_local_gather(
         C, N, t_ix, node_ixs, nbrs
     )
-    d = nbrs.shape[1]
+    return _hetcor2_local_core(Cb, qb, Nbv, Nbc, nrv, nrc, tn, t_x, deg, th, ct)
+
+
+def hetcor2_local_sweep_pre(Cb, qb, Nb_raw, nr_raw, tn, t_x, deg, th, ct: int):
+    """`hetcor2_local_sweep` on PRE-GATHERED local panels (the row-sharded
+    entry point: Cb/qb/Nb_raw/nr_raw come from the ring pass). NaN masking of
+    the raw per-pair N happens here, identically to `_hetcor_local_gather`."""
+    Nbv = jnp.nan_to_num(Nb_raw)
+    Nbc = jnp.where(jnp.isnan(Nb_raw), 0.0, 1.0)
+    nrv = jnp.nan_to_num(nr_raw)
+    nrc = jnp.where(jnp.isnan(nr_raw), 0.0, 1.0)
+    return _hetcor2_local_core(Cb, qb, Nbv, Nbc, nrv, nrc, tn, t_x, deg, th, ct)
+
+
+def _hetcor2_local_core(Cb, qb, Nbv, Nbc, nrv, nrc, tn, t_x, deg, th, ct: int):
+    d = Cb.shape[1]
     zero_d = jnp.zeros((d,), jnp.float32)
 
     def per_node(Cb_n, qb_n, Nbv_n, Nbc_n, nrv_n, nrc_n, tn_n, t_x_n, deg_n):
@@ -620,7 +635,21 @@ def hetcor3_local_sweep(C, N, t_ix, node_ixs, nbrs, deg, th, ct: int):
     Cb, qb, Nbv, Nbc, nrv, nrc, tn, t_x = _hetcor_local_gather(
         C, N, t_ix, node_ixs, nbrs
     )
-    d = nbrs.shape[1]
+    return _hetcor3_local_core(Cb, qb, Nbv, Nbc, nrv, nrc, tn, t_x, deg, th, ct)
+
+
+def hetcor3_local_sweep_pre(Cb, qb, Nb_raw, nr_raw, tn, t_x, deg, th, ct: int):
+    """`hetcor3_local_sweep` on PRE-GATHERED local panels (row-sharded entry
+    point); NaN masking identical to `_hetcor_local_gather`."""
+    Nbv = jnp.nan_to_num(Nb_raw)
+    Nbc = jnp.where(jnp.isnan(Nb_raw), 0.0, 1.0)
+    nrv = jnp.nan_to_num(nr_raw)
+    nrc = jnp.where(jnp.isnan(nr_raw), 0.0, 1.0)
+    return _hetcor3_local_core(Cb, qb, Nbv, Nbc, nrv, nrc, tn, t_x, deg, th, ct)
+
+
+def _hetcor3_local_core(Cb, qb, Nbv, Nbc, nrv, nrc, tn, t_x, deg, th, ct: int):
+    d = Cb.shape[1]
 
     def per_node(Cb_n, qb_n, Nbv_n, Nbc_n, nrv_n, nrc_n, tn_n, t_x_n, deg_n):
         def outer(u, m0):
@@ -896,18 +925,30 @@ def level_scan_hetcor(
     panels are sliced once per launch, NaNs tracked with a parallel mask so
     one-hot matmuls stay NaN-safe.
     """
-    nt, d = nbrs.shape
-    nch, K, _ = combos_seq.shape
     C_x = C[nbrs[:, :, None], nbrs[:, None, :]]  # (nt, d, d)
     c_row = C[node_ixs[:, None], nbrs]  # (nt, d)
     N_x_raw = N[nbrs[:, :, None], nbrs[:, None, :]]  # (nt, d, d)
-    N_x = jnp.nan_to_num(N_x_raw)
-    N_x_nan = jnp.isnan(N_x_raw).astype(jnp.float32)
     n_row_raw = N[node_ixs[:, None], nbrs]  # (nt, d)
-    n_row = jnp.nan_to_num(n_row_raw)
-    n_row_nan = jnp.isnan(n_row_raw).astype(jnp.float32)
     t_nbrs = time_index[nbrs].astype(jnp.float32)  # (nt, d)
     t_x = time_index[node_ixs].astype(jnp.float32)  # (nt,)
+    return level_scan_hetcor_pre(
+        C_x, c_row, N_x_raw, n_row_raw, t_nbrs, t_x, deg, combos_seq,
+        left_seq, th, l,
+    )
+
+
+def level_scan_hetcor_pre(
+    C_x, c_row, N_x_raw, n_row_raw, t_nbrs, t_x, deg, combos_seq, left_seq,
+    th, l: int
+):
+    """`level_scan_hetcor` on PRE-GATHERED local panels (row-sharded entry
+    point: C_x/c_row/N_x_raw/n_row_raw come from the ring pass)."""
+    nt, d = c_row.shape
+    nch, K, _ = combos_seq.shape
+    N_x = jnp.nan_to_num(N_x_raw)
+    N_x_nan = jnp.isnan(N_x_raw).astype(jnp.float32)
+    n_row = jnp.nan_to_num(n_row_raw)
+    n_row_nan = jnp.isnan(n_row_raw).astype(jnp.float32)
 
     def chunk_step(margin_min, inp):
         combos, left = inp

@@ -634,6 +634,188 @@ def make_level_scan_rowsharded(mesh: Mesh, axis: str):
     return run
 
 
+def make_hetcor_local_rowsharded(mesh: Mesh, axis: str, l: int):
+    """Row-sharded hetcor dense local sweep (levels 2/3): node tile, panel
+    ROWS and ESS rows sharded over `axis`; local (nt, d, d) panels of BOTH
+    the correlation panel and the per-pair N come from ring passes. Same
+    contract as `pcorr.hetcor2/3_local_sweep` (time index replicated)."""
+    base = {
+        2: pcorr_ops.hetcor2_local_sweep_pre,
+        3: pcorr_ops.hetcor3_local_sweep_pre,
+    }[l]
+    ndev = mesh_axis_size(mesh, axis)
+    cache = {}
+
+    def body(C_loc, N_loc, t_ix, node_ixs, nbrs, deg, th: float, ct: int):
+        Cb, qb = _ring_local_panels(C_loc, node_ixs, nbrs, axis, ndev)
+        Nb, nr = _ring_local_panels(N_loc, node_ixs, nbrs, axis, ndev)
+        tn = t_ix[nbrs].astype(jnp.float32)
+        t_x = t_ix[node_ixs].astype(jnp.float32)
+        return base(Cb, qb, Nb, nr, tn, t_x, deg, jnp.float32(th), ct)
+
+    def run(C, N, t_ix, node_ixs, nbrs, deg, th: float, ct: int):
+        key = (ct, float(th))
+        fn = cache.get(key)
+        if fn is None:
+            fn = jax.jit(
+                _shard_map(
+                    partial(body, th=float(th), ct=ct),
+                    mesh,
+                    in_specs=(
+                        P(axis, None), P(axis, None), P(None),
+                        P(axis), P(axis, None), P(axis),
+                    ),
+                    out_specs=P(axis, None),
+                )
+            )
+            cache[key] = fn
+        return fn(C, N, t_ix, node_ixs, nbrs, deg)
+
+    return run
+
+
+def make_level_scan_hetcor_rowsharded(mesh: Mesh, axis: str):
+    """Row-sharded `level_scan_hetcor` (levels >= 4): ring-gathered local
+    correlation AND per-pair-N panels feed the combinatorial chunk scan."""
+    ndev = mesh_axis_size(mesh, axis)
+    cache = {}
+
+    def body(C_loc, N_loc, t_ix, node_ixs, nbrs, deg, combos_seq, left_seq,
+             th, l: int):
+        Cb, qb = _ring_local_panels(C_loc, node_ixs, nbrs, axis, ndev)
+        Nb, nr = _ring_local_panels(N_loc, node_ixs, nbrs, axis, ndev)
+        tn = t_ix[nbrs].astype(jnp.float32)
+        t_x = t_ix[node_ixs].astype(jnp.float32)
+        return pcorr_ops.level_scan_hetcor_pre(
+            Cb, qb, Nb, nr, tn, t_x, deg, combos_seq, left_seq, th, l
+        )
+
+    def run(C, N, t, node_ixs, nbrs, deg, combos_seq, left_seq, th, l: int):
+        fn = cache.get(l)
+        if fn is None:
+            fn = jax.jit(
+                _shard_map(
+                    partial(body, l=l),
+                    mesh,
+                    in_specs=(
+                        P(axis, None), P(axis, None), P(None),
+                        P(axis), P(axis, None), P(axis),
+                        P(None, None, None), P(None, axis), P(),
+                    ),
+                    out_specs=P(axis, None),
+                )
+            )
+            cache[l] = fn
+        return fn(C, N, t, node_ixs, nbrs, deg, combos_seq, left_seq, th)
+
+    return run
+
+
+def _hetcor1_ring_body(C_loc, N_loc, t_full, G_loc, th, axis: str, ndev: int):
+    """Row-sharded dense hetcor level-1 margin sweep: x rows local, y rows
+    via the ring (`_dense1_ring_body` with `_hetcor1_dense_padded`'s ESS and
+    time terms). The (y, s) pairwise-N factors ride the ring alongside the
+    y-row R/P factors; time indices are replicated.
+    """
+    L, vp = C_loc.shape
+    me = jax.lax.axis_index(axis)
+    R_loc = jax.lax.rsqrt(jnp.abs(1.0 - C_loc * C_loc))
+    P_loc = C_loc * R_loc
+    Nv_loc = jnp.nan_to_num(N_loc)
+    Nok_loc = (~jnp.isnan(N_loc)).astype(jnp.float32)
+    NN_loc = Nv_loc * Nok_loc
+    tf = t_full.astype(jnp.float32)
+    s_ix = jnp.arange(vp)
+    x_ix0 = me * L + jnp.arange(L)
+    t_x = jnp.take(tf, x_ix0)
+
+    def step(k, carry):
+        margin_all, sR, sP, sNN, sNok = carry
+        src = (me + k) % ndev
+        y0 = src * L
+        cxy = jax.lax.dynamic_slice(C_loc, (0, y0), (L, L))
+        nnxy = jax.lax.dynamic_slice(NN_loc, (0, y0), (L, L))  # N[x,y] masked
+        oxy = jax.lax.dynamic_slice(Nok_loc, (0, y0), (L, L))
+        rho = jnp.abs(
+            cxy[:, :, None] * (R_loc[:, None, :] * sR[None, :, :])
+            - P_loc[:, None, :] * sP[None, :, :]
+        )
+        total = nnxy[:, :, None] + NN_loc[:, None, :] + sNN[None, :, :]
+        count = oxy[:, :, None] + Nok_loc[:, None, :] + sNok[None, :, :]
+        mean_ess = total / count
+        th_test = jnp.tanh(th / jnp.sqrt(mean_ess - 4.0))
+        t_y = jax.lax.dynamic_slice(tf, (y0,), (L,))
+        t_pair = jnp.maximum(t_x[:, None], t_y[None, :])  # (L, L)
+        bad_time = tf[None, None, :] > t_pair[:, :, None]
+        y_ix = y0 + jnp.arange(L)
+        bad = (
+            (s_ix[None, None, :] == x_ix0[:, None, None])
+            | (s_ix[None, None, :] == y_ix[None, :, None])
+            | ~G_loc[:, None, :]
+            | bad_time
+        )
+        margin = rho - th_test
+        margin = jnp.where(bad | ~jnp.isfinite(margin), pcorr_ops.MARGIN_BIG,
+                           margin)
+        margin_all = jax.lax.dynamic_update_slice(
+            margin_all, jnp.min(margin, axis=2), (0, y0)
+        )
+        perm = [(i, (i - 1) % ndev) for i in range(ndev)]
+        return (
+            margin_all,
+            jax.lax.ppermute(sR, axis, perm),
+            jax.lax.ppermute(sP, axis, perm),
+            jax.lax.ppermute(sNN, axis, perm),
+            jax.lax.ppermute(sNok, axis, perm),
+        )
+
+    init = (
+        jnp.full((L, vp), pcorr_ops.MARGIN_BIG, jnp.float32),
+        R_loc, P_loc, NN_loc, Nok_loc,
+    )
+    margin_all, _, _, _, _ = jax.lax.fori_loop(0, ndev, step, init)
+    return margin_all
+
+
+def make_hetcor1_rowsharded(mesh: Mesh, axis: str):
+    """Row-sharded `hetcor1_dense_margin`; same host contract (returns the
+    (v, v) margin as numpy)."""
+    ndev = mesh_axis_size(mesh, axis)
+    cache = {}
+
+    def run(C_dev, N_dev, t_dev, Gb, th: float):
+        C = jnp.asarray(C_dev, dtype=jnp.float32)
+        v = C.shape[0]
+        N = jnp.asarray(N_dev, dtype=jnp.float32)
+        t = jnp.asarray(t_dev, dtype=jnp.int32)
+        Gm = jnp.asarray(np.asarray(Gb), dtype=bool)
+        import math
+        pad = (-v) % math.lcm(128, ndev)
+        if pad:
+            C = jnp.pad(C, ((0, pad), (0, pad)))
+            Gm = jnp.pad(Gm, ((0, pad), (0, pad)))
+            N = jnp.pad(N, ((0, pad), (0, pad)), constant_values=10.0)
+            t = jnp.pad(t, (0, pad))
+        key = (float(th),)
+        fn = cache.get(key)
+        if fn is None:
+            fn = jax.jit(
+                _shard_map(
+                    partial(_hetcor1_ring_body, th=jnp.float32(th),
+                            axis=axis, ndev=ndev),
+                    mesh,
+                    in_specs=(P(axis, None), P(axis, None), P(None),
+                              P(axis, None)),
+                    out_specs=P(axis, None),
+                )
+            )
+            cache[key] = fn
+        out = fn(C, N, t, Gm)
+        return np.asarray(out)[:v, :v]
+
+    return run
+
+
 def _dense1_ring_body(C_loc, G_loc, axis: str, ndev: int):
     """Row-sharded dense level-1 sweep: x rows local, y rows via the ring.
 
@@ -913,6 +1095,20 @@ def make_banded_corr_sharded(mesh: Mesh, axis: str):
 # ---------------------------------------------------------------------------
 
 
+def make_engine(mesh, panel_mode: str = "replicated", axis: str | None = None):
+    """Engine for a mesh (or None): `ShardedEngine` for the replicated
+    panel, `RowShardedEngine` for (vp/D, vp) row strips. The shared
+    constructor behind `pipelines.cusk.CuskContext` and `pipelines.cuskss`."""
+    if mesh is None:
+        return None
+    if panel_mode not in ("replicated", "rowsharded"):
+        raise ValueError(f"unknown panel_mode: {panel_mode!r}")
+    if axis is None:
+        axis = "marker" if "marker" in mesh.axis_names else mesh.axis_names[0]
+    cls = RowShardedEngine if panel_mode == "rowsharded" else ShardedEngine
+    return cls(mesh, axis)
+
+
 class ShardedEngine:
     """Bundle of mesh-sharded kernel variants consumed by `skeleton()` /
     `hetcor_skeleton` / `pipelines.cusk` when a mesh is supplied."""
@@ -938,19 +1134,21 @@ class ShardedEngine:
         """Engine to use for the second cusk stage (the reduced panel)."""
         return self
 
+    def put_panel(self, x) -> jax.Array:
+        """Place a host (v, v) panel (correlation or per-pair N) with this
+        engine's panel sharding: replicated here, row strips in
+        `RowShardedEngine`. `v` must divide the mesh axis in row-sharded
+        mode (callers pad to PANEL_ALIGN already)."""
+        return jax.device_put(
+            x, NamedSharding(self.mesh, P(None, None))
+        )
+
     @classmethod
     def flat(cls, devices=None, axis: str = "marker") -> "ShardedEngine":
         """1-D mesh over all (or the given) devices."""
         if devices is None:
             devices = jax.devices()
         return cls(Mesh(np.array(devices), (axis,)), axis)
-
-
-def _no_rowsharded_hetcor(*_a, **_k):
-    raise NotImplementedError(
-        "hetcor kernels are not available in row-sharded panel mode; use "
-        "ShardedEngine (replicated panel) for cuskss workloads"
-    )
 
 
 class RowShardedEngine(ShardedEngine):
@@ -975,10 +1173,15 @@ class RowShardedEngine(ShardedEngine):
         self.level3_local_sweep = make_level_local_rowsharded(mesh, axis, 3)
         self.level1_dense_minrho = make_level1_rowsharded(mesh, axis)
         self.corr_panel_device = make_panel_rowsharded(mesh, axis)
-        self.level_scan_hetcor = _no_rowsharded_hetcor
-        self.hetcor1_dense_margin = _no_rowsharded_hetcor
-        self.hetcor2_local_sweep = _no_rowsharded_hetcor
-        self.hetcor3_local_sweep = _no_rowsharded_hetcor
+        self.level_scan_hetcor = make_level_scan_hetcor_rowsharded(mesh, axis)
+        self.hetcor1_dense_margin = make_hetcor1_rowsharded(mesh, axis)
+        self.hetcor2_local_sweep = make_hetcor_local_rowsharded(mesh, axis, 2)
+        self.hetcor3_local_sweep = make_hetcor_local_rowsharded(mesh, axis, 3)
+
+    def put_panel(self, x) -> jax.Array:
+        return jax.device_put(
+            x, NamedSharding(self.mesh, P(self.axis, None))
+        )
 
     def for_stage2(self):
         return None

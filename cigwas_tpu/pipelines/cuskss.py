@@ -138,13 +138,19 @@ def run_cusk(
     time_index_traits: list[int],
     verbose: bool = False,
     ess_mode: str = "reference",
+    engine=None,
 ) -> ReducedGC:
-    """One hetcor-skeleton stage + ancestor reduction (`run_cusk`, `cli.cpp:29-60`)."""
+    """One hetcor-skeleton stage + ancestor reduction (`run_cusk`, `cli.cpp:29-60`).
+
+    engine: a `cigwas_tpu.parallel.sharded.ShardedEngine` /
+    `RowShardedEngine` runs the hetcor level kernels SPMD over its mesh
+    (byte-identical outputs; see `make_engine`).
+    """
     time_index = np.zeros(gc.num_var, dtype=np.int32)
     time_index[gc.num_markers() :] = np.asarray(time_index_traits, dtype=np.int32)
     res = hetcor_skeleton(
         gc.C, gc.G, gc.S, threshold, max_level, time_index=time_index,
-        verbose=verbose, ess_mode=ess_mode,
+        verbose=verbose, ess_mode=ess_mode, engine=engine,
     )
     keep = subset_variables(res.G, gc.num_var, gc.num_markers(), max_depth)
     return reduce_gc(
@@ -159,8 +165,25 @@ def run_cusk(
     )
 
 
-def cuskss(args: CuskssArgs, verbose: bool = True) -> ReducedGC:
-    """Full cuskss workflow (`cuskss`, `cli.cpp:194-346`)."""
+def cuskss(
+    args: CuskssArgs,
+    verbose: bool = True,
+    mesh=None,
+    panel_mode: str = "replicated",
+) -> ReducedGC:
+    """Full cuskss workflow (`cuskss`, `cli.cpp:194-346`).
+
+    mesh: a `jax.sharding.Mesh` runs every hetcor level kernel SPMD over it
+    (the reference's multi-GPU analogue is one block per device via
+    `ci-gwas.py`; here one block's tests shard over the mesh).
+    panel_mode: "replicated" holds the full (v, v) correlation/ESS panels on
+    every device; "rowsharded" splits them into (vp/D, vp) row strips with
+    ring-pass level kernels for panels beyond one chip's HBM. Outputs are
+    byte-identical across modes and to the single-device path.
+    """
+    from cigwas_tpu.parallel.sharded import make_engine
+
+    engine = make_engine(mesh, panel_mode)
     if args.merged:
         marker_ixs = read_ints_from_binary(args.marker_ixs_path)
         block = None
@@ -194,7 +217,7 @@ def cuskss(args: CuskssArgs, verbose: bool = True) -> ReducedGC:
         )
         gc = run_cusk(
             gc, th, args.depth, args.max_level_one, time_index_traits,
-            verbose=verbose, ess_mode=args.ess_mode,
+            verbose=verbose, ess_mode=args.ess_mode, engine=engine,
         )
         gc.to_file(make_path(args.outdir, "trait_only", ""))
         if verbose:
@@ -230,7 +253,7 @@ def cuskss(args: CuskssArgs, verbose: bool = True) -> ReducedGC:
         print("Starting first cusk stage")
     gc = run_cusk(
         gc, th, args.depth, args.max_level_one, time_index_traits,
-        verbose=verbose, ess_mode=args.ess_mode,
+        verbose=verbose, ess_mode=args.ess_mode, engine=engine,
     )
     if args.two_stage:
         if verbose:
@@ -238,6 +261,7 @@ def cuskss(args: CuskssArgs, verbose: bool = True) -> ReducedGC:
         gc = run_cusk(
             gc, th, args.depth, args.max_level_two, time_index_traits,
             verbose=verbose, ess_mode=args.ess_mode,
+            engine=engine.for_stage2() if engine is not None else None,
         )
     if verbose:
         print(f"Retained {gc.num_markers()} markers")

@@ -1055,7 +1055,11 @@ def hetcor_skeleton(
         raise ValueError(f"unknown ess_mode: {ess_mode!r}")
     C = np.asarray(C, dtype=np.float32)
     v_real = C.shape[0]
-    pad = (-v_real) % PANEL_ALIGN
+    align = PANEL_ALIGN
+    if engine is not None:
+        # row-sharded panels split (vp, vp) rows over the mesh axis
+        align = math.lcm(PANEL_ALIGN, engine.ndev)
+    pad = (-v_real) % align
     if pad:
         # shape bucket (see `skeleton`): padded vars carry corr 0, finite
         # ess, no incoming edges — inert at every level
@@ -1080,14 +1084,15 @@ def hetcor_skeleton(
     G &= ~delete0
     np.fill_diagonal(G, False)
 
-    C_dev = jnp.asarray(C)
+    put = engine.put_panel if engine is not None else jnp.asarray
+    C_dev = put(C)
     if ess_mode == "reference":
         # NaN-free N makes the kernels' NaN masks all-false, i.e. every pair
         # is counted — exactly the reference's dead NaN check (see docstring)
         N_lvl = np.trunc(np.nan_to_num(N, nan=0.0)).astype(np.float32)
     else:
         N_lvl = N
-    N_dev = jnp.asarray(N_lvl)
+    N_dev = put(N_lvl)
     t_dev = jnp.asarray(time_index)
     final_level = 0
     for l in range(1, min(ML, max_level) + 1):

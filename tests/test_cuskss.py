@@ -158,3 +158,53 @@ def test_cuskss_time_index_restricts_conditioning(tmp_path):
     assert args.time_indexed
     res = cuskss(args, verbose=False)
     assert res.num_var >= res.num_phen
+
+
+@pytest.mark.parametrize("panel_mode", ["replicated", "rowsharded"])
+def test_cuskss_sharded_byte_identical(tmp_path, panel_mode):
+    """The full cuskss workflow on an 8-device mesh (both panel modes)
+    writes byte-identical outputs to the single-device run — the multi-chip
+    wiring of the summary-stat path (`cli.cpp:194-346` +
+    `hetcor-cuPC-S.cu:75-341`, replacing the per-GPU block loop of
+    `ci-gwas.py:100-104`)."""
+    import hashlib
+
+    import jax
+    from jax.sharding import Mesh
+
+    plain_dir = tmp_path / "plain"
+    mesh_dir = tmp_path / panel_mode
+    plain_dir.mkdir()
+    mesh_dir.mkdir()
+    # hetcor inputs (SE files) so the heterogeneous-ESS kernels run
+    mxp_lines = open(p("marker_trait_summary_stats.txt")).read().splitlines()
+    mxp_se = tmp_path / "mxp_se.txt"
+    with open(mxp_se, "w") as f:
+        f.write(mxp_lines[0] + "\n")
+        for line in mxp_lines[1:]:
+            fields = line.split()
+            f.write(" ".join(fields[:3] + ["0.00001"] * (len(fields) - 3)) + "\n")
+    pxp_lines = open(p("trait_summary_stats.txt")).read().splitlines()
+    pxp_se = tmp_path / "pxp_se.txt"
+    with open(pxp_se, "w") as f:
+        f.write(pxp_lines[0] + "\n")
+        for line in pxp_lines[1:]:
+            fields = line.split()
+            f.write(" ".join(fields[:1] + ["0.00001"] * (len(fields) - 1)) + "\n")
+    kw = dict(mxp_se=str(mxp_se), pxp_se=str(pxp_se), max_level_two=1)
+    cuskss(_base_args(plain_dir, **kw, outdir=str(plain_dir)), verbose=False)
+    mesh = Mesh(np.array(jax.devices()), ("marker",))
+    cuskss(
+        _base_args(mesh_dir, **kw, outdir=str(mesh_dir)),
+        verbose=False, mesh=mesh, panel_mode=panel_mode,
+    )
+
+    def hashes(d):
+        return {
+            f.name: hashlib.sha256(f.read_bytes()).hexdigest()
+            for f in sorted(d.iterdir()) if f.is_file()
+        }
+
+    got, exp = hashes(mesh_dir), hashes(plain_dir)
+    assert exp, "no outputs produced"
+    assert got == exp

@@ -255,3 +255,63 @@ def test_rowsharded_panel_is_actually_sharded(sharded_dataset):
     vp = C.shape[0]
     shard_shapes = {s.data.shape for s in C.addressable_shards}
     assert shard_shapes == {(vp // 8, vp)}
+
+
+def test_rowsharded_hetcor_matches_plain(n10_fixture):
+    """hetcor_skeleton with the ROW-SHARDED engine (panel + per-pair N in
+    (vp/D, vp) stripes, ring-pass level kernels) equals the plain path and
+    the N10 golden adjacency."""
+    import jax
+    from jax.sharding import Mesh
+
+    from cigwas_tpu.parallel.sharded import RowShardedEngine
+    from cigwas_tpu.skeleton import hetcor_skeleton
+    from cigwas_tpu.utils.stats import hetcor_threshold
+
+    C, A, alpha, n = n10_fixture
+    N = np.full_like(C, float(n))
+    th = hetcor_threshold(alpha)
+    plain = hetcor_skeleton(C, np.ones_like(A), N, th, 14)
+    mesh = Mesh(np.array(jax.devices()), ("marker",))
+    shard = hetcor_skeleton(
+        C, np.ones_like(A), N, th, 14, engine=RowShardedEngine(mesh, "marker")
+    )
+    assert np.array_equal(plain.G, shard.G)
+    assert np.array_equal(shard.G, A)
+
+
+@pytest.mark.parametrize("ess_mode", ["reference", "float"])
+def test_rowsharded_hetcor_heterogeneous(ess_mode):
+    """Row-sharded hetcor with heterogeneous per-pair N incl. NaNs and time
+    indices is byte-identical to the plain path through level >= 4 (both
+    `ess_mode`s; exercises hetcor1 ring, hetcor2/3 ring local sweeps and the
+    ring combinatorial scan)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from cigwas_tpu.parallel.sharded import RowShardedEngine
+    from cigwas_tpu.skeleton import hetcor_skeleton
+    from cigwas_tpu.utils.stats import hetcor_threshold
+
+    rng = np.random.default_rng(3)
+    v = 60
+    C = np.corrcoef(rng.normal(size=(v, 2 * v))).astype(np.float32)
+    N = rng.uniform(50, 500, (v, v)).astype(np.float32)
+    N = (N + N.T) / 2
+    N[rng.random((v, v)) < 0.05] = np.nan
+    N = np.where(np.isnan(N.T), np.nan, N)
+    t_ix = rng.integers(0, 3, v)
+    th = hetcor_threshold(1e-2)
+    plain = hetcor_skeleton(
+        C, np.ones((v, v), np.int32), N, th, 14, time_index=t_ix,
+        ess_mode=ess_mode,
+    )
+    mesh = Mesh(np.array(jax.devices()), ("marker",))
+    shard = hetcor_skeleton(
+        C, np.ones((v, v), np.int32), N, th, 14, time_index=t_ix,
+        ess_mode=ess_mode, engine=RowShardedEngine(mesh, "marker"),
+    )
+    if ess_mode == "float":
+        assert plain.final_level >= 4  # the combinatorial ring scan must run
+    assert plain.final_level == shard.final_level
+    assert np.array_equal(plain.G, shard.G)
