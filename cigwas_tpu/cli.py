@@ -109,6 +109,16 @@ def cmd_cuskss(args):
 def cmd_cusk_all(args):
     from cigwas_tpu.parallel import run_all_blocks
 
+    mesh = None
+    if args.mesh is not None:
+        if args.partition_index is not None:
+            # block-DP x panel-TP: this partition's blocks shard over its
+            # own device group [p*N, (p+1)*N)
+            from cigwas_tpu.parallel.runner import partition_mesh
+
+            mesh = partition_mesh(args.mesh, args.partition_index)
+        else:
+            mesh = _mesh_from_flag(args)
     run_all_blocks(
         args.phen,
         args.bfiles,
@@ -120,6 +130,8 @@ def cmd_cusk_all(args):
         args.outdir,
         num_partitions=args.num_partitions,
         partition_index=args.partition_index,
+        mesh=mesh,
+        panel_mode=args.panel_mode,
     )
 
 
@@ -270,6 +282,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("outdir", type=str, default="./")
     p.add_argument("--num-partitions", type=int, default=None)
     p.add_argument("--partition-index", type=int, default=None)
+    p.add_argument(
+        "--mesh", type=int, default=None, metavar="N",
+        help="shard each block over a mesh of N devices; with "
+        "--partition-index p the mesh is THIS partition's device group "
+        "[p*N, (p+1)*N) (block-DP across groups, panel-TP inside)",
+    )
+    p.add_argument(
+        "--panel-mode", choices=("replicated", "rowsharded"),
+        default="replicated",
+        help="replicated: panel on every mesh device; rowsharded: (vp/D, vp) "
+        "stripes",
+    )
     p.set_defaults(func=cmd_cusk_all)
 
     p = sub.add_parser(

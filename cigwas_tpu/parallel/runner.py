@@ -25,6 +25,37 @@ from cigwas_tpu.pipelines.cusk import CuskContext
 from cigwas_tpu.utils.timing import StageTimer
 
 
+def partition_mesh(
+    devices_per_partition: int,
+    partition_index: int | None = None,
+    axis: str = "marker",
+):
+    """1-D mesh over THIS partition's slice of the local devices.
+
+    Partition p of the block list gets devices
+    [p*g, (p+1)*g) (g = devices_per_partition), so concurrent partition
+    workers on one host each shard their blocks over a disjoint device
+    group — block-DP across groups, panel-TP inside each
+    (SURVEY §2.4 row 1). partition_index defaults to this process's
+    `jax.process_index()` (0 single-process).
+    """
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    if partition_index is None:
+        partition_index = jax.process_index()
+    devs = jax.devices()
+    lo = devices_per_partition * partition_index
+    hi = lo + devices_per_partition
+    if hi > len(devs):
+        raise ValueError(
+            f"partition {partition_index} needs devices [{lo}, {hi}) but only "
+            f"{len(devs)} are visible"
+        )
+    return Mesh(np.array(devs[lo:hi]), (axis,))
+
+
 def run_all_blocks(
     phen_path: str,
     bed_base_path: str,
@@ -37,8 +68,18 @@ def run_all_blocks(
     num_partitions: int | None = None,
     partition_index: int | None = None,
     verbose: bool = True,
+    mesh=None,
+    panel_mode: str = "replicated",
 ) -> dict:
     """Run cusk for every block assigned to this partition.
+
+    mesh / panel_mode: run each of this partition's blocks SPMD over the
+    given `jax.sharding.Mesh` (see `pipelines.cusk.CuskContext`). This
+    composes block data-parallelism with panel tensor-parallelism — each
+    partition owns a device GROUP and shards every block's panel inside it
+    (SURVEY §2.4 row 1; the reference's per-block cluster loop is
+    `ci-gwas.py:100-104`). Use :func:`partition_mesh` to carve the local
+    devices into per-partition groups.
 
     Returns {block_file_string: num_markers_retained | None (skipped)}.
     """
@@ -57,6 +98,8 @@ def run_all_blocks(
         depth,
         outdir,
         verbose=verbose,
+        mesh=mesh,
+        panel_mode=panel_mode,
     )
     # software pipeline: block i+1's host IO + pre-screen dispatch happen
     # before block i's finish, so disk reads and one device round-trip per

@@ -892,11 +892,15 @@ def make_level1_rowsharded(mesh: Mesh, axis: str):
 def make_panel_rowsharded(mesh: Mesh, axis: str):
     """Row-sharded correlation panel: each device computes and KEEPS only
     its (vp/D, vp) row stripe (layout [markers, traits, pads] like
-    `corr_panel_device`); returns (C row-sharded, v)."""
-    from cigwas_tpu.ops.corr import (
-        DEFAULT_SAMPLE_CHUNK, _pad_rows, _prep_bytes, marker_phen_corr,
-        phen_phen_corr,
-    )
+    `corr_panel_device`); returns (C row-sharded, v).
+
+    The marker-phen and phen-phen blocks are computed ON DEVICE with the
+    same per-chunk matmuls + epilogue as `_panel_device` /
+    `_panel_sharded_body`, so every panel entry is bit-equal to the
+    single-device path (the earlier host `marker_phen_corr` shortcut
+    differed by ~1 ulp in the f32 epilogue and broke `.corr` byte-parity).
+    """
+    from cigwas_tpu.ops.corr import DEFAULT_SAMPLE_CHUNK, _pad_rows, _prep_bytes
     from cigwas_tpu.ops.decode import PAD_BYTE
 
     ndev = mesh_axis_size(mesh, axis)
@@ -911,49 +915,56 @@ def make_panel_rowsharded(mesh: Mesh, axis: str):
         v = m + p
         vp = -(-v // (128 * ndev)) * (128 * ndev)
         m_pad = vp - p
-        mp_corr = np.asarray(
-            marker_phen_corr(bed_bytes, phen, marker_mean, marker_std,
-                             num_samples)
-        )  # NaN entries preserved (level-0 keeps NaN edges)
         bed_pad = _pad_rows(bed_bytes, m_pad, PAD_BYTE)
         sample_chunk = min(
             sample_chunk, 4 * ((bed_pad.shape[1] + 31) // 32) * 32 * 4
         )
         padded, n_chunks = _prep_bytes(bed_pad, num_samples, sample_chunk)
-        pp = phen_phen_corr(phen).astype(np.float32)
+        n_padded = padded.shape[1] * 4
+        phen0 = np.zeros((p, n_padded), dtype=np.float32)
+        phenv = np.zeros((p, n_padded), dtype=np.float32)
+        phen0[:, : phen.shape[1]] = np.nan_to_num(phen)
+        phenv[:, : phen.shape[1]] = np.isfinite(phen).astype(np.float32)
 
         # panel row r (final layout) -> bed row: r for markers, r - p for
-        # pads; trait rows overwritten from trait_full afterwards
+        # pads; trait rows get bed row 0 as a placeholder and are
+        # overwritten from the device-computed trait block afterwards
         bed_row_of = np.concatenate(
             [np.arange(m), np.zeros(p, np.int64), np.arange(m, m_pad)]
         )
         row_bytes = padded[bed_row_of]  # (vp, B) host gather of byte rows
+        mean_pad = _pad_rows(np.asarray(marker_mean, np.float32), m_pad, 1.0)
+        std_pad = _pad_rows(np.asarray(marker_std, np.float32), m_pad, 1.0)
+        mean_r = mean_pad[bed_row_of]
+        std_r = std_pad[bed_row_of]
         is_trait = np.zeros(vp, bool)
         is_trait[m : m + p] = True
         trait_of = np.zeros(vp, np.int64)
         trait_of[m : m + p] = np.arange(p)
 
-        # trait rows in final layout: [mp.T markers | pp | zeros pads]
-        trait_full = np.zeros((p, vp), np.float32)
-        trait_full[:, :m] = np.asarray(mp_corr, np.float32).T
-        trait_full[:, m : m + p] = pp
-
-        key = (padded.shape, n_chunks, vp)
+        # m and p are baked into the shard_map body: they MUST key the
+        # cache (blocks of different marker counts can share padded.shape
+        # after m_pad rounding — reusing the wrong body silently mislabels
+        # the trait columns)
+        key = (padded.shape, n_chunks, vp, m, p)
         fn = cache.get(key)
         if fn is None:
             fn = jax.jit(
                 _shard_map(
                     partial(
                         _panel_rowsharded_body, n_chunks=n_chunks, m=m, p=p,
-                        m_pad=m_pad, axis=axis, ndev=ndev,
+                        axis=axis, ndev=ndev,
                     ),
                     mesh,
                     in_specs=(
                         P(axis, None),  # this shard's byte rows
                         P(None, None),  # all byte rows (for columns)
+                        P(None, None),  # phen values
+                        P(None, None),  # phen valid mask
+                        P(axis),        # per-row marker mean
+                        P(axis),        # per-row marker std
                         P(axis),        # is_trait
                         P(axis),        # trait_of
-                        P(None, None),  # trait_full
                     ),
                     out_specs=P(axis, None),
                 )
@@ -961,40 +972,85 @@ def make_panel_rowsharded(mesh: Mesh, axis: str):
             cache[key] = fn
         C = fn(
             jnp.asarray(row_bytes), jnp.asarray(padded),
+            jnp.asarray(phen0), jnp.asarray(phenv),
+            jnp.asarray(mean_r), jnp.asarray(std_r),
             jnp.asarray(is_trait), jnp.asarray(trait_of.astype(np.int32)),
-            jnp.asarray(trait_full),
         )
         return C, v
 
     return run
 
 
-def _panel_rowsharded_body(row_bytes, bed_all, is_trait, trait_of,
-                           trait_full, n_chunks: int, m: int, p: int,
-                           m_pad: int, axis: str, ndev: int):
+def _panel_rowsharded_body(row_bytes, bed_all, phen0, phenv, mean_r, std_r,
+                           is_trait, trait_of, n_chunks: int, m: int, p: int,
+                           axis: str, ndev: int):
     """One (vp/D, vp) stripe of the final-layout panel.
 
-    Kendall rows vs ALL bed rows give the marker/pad columns; trait columns
-    come from the precomputed trait_full rows (transposed into place);
-    trait ROWS replace their kendall junk row entirely.
+    Kendall rows vs ALL bed rows give the marker/pad columns; the
+    marker-phen block is computed per shard row with `_panel_device`'s
+    chunked matmuls + epilogue (bit-equal), all-gathered so trait ROWS can
+    be assembled as [mp.T | pp | 0] on every shard.
     """
     from cigwas_tpu.ops.corr import _kendall_counts_block
 
-    L = row_bytes.shape[0]
+    L, B = row_bytes.shape
     me = jax.lax.axis_index(axis)
     counts = _kendall_counts_block(row_bytes, bed_all, n_chunks)
     k_all = _kendall_from_counts(counts, L, bed_all.shape[0])  # (L, m_pad)
+
+    # marker-phen sums per shard row (same chunk sequence + dot shapes rule
+    # as `_panel_sharded_body`, so each row's sums are bit-equal to the
+    # single-device scan)
+    chunk_bytes = B // n_chunks
+    chunk = 4 * chunk_bytes
+
+    def mp_step(carry, idx):
+        s_mp, s_p, n_val = carry
+        rb = jax.lax.dynamic_slice(
+            row_bytes, (0, idx * chunk_bytes), (L, chunk_bytes)
+        )
+        vals, valid = geno_value_valid(unpack_bed_codes(rb))
+        ph0 = jax.lax.dynamic_slice(phen0, (0, idx * chunk), (p, chunk))
+        phv = jax.lax.dynamic_slice(phenv, (0, idx * chunk), (p, chunk))
+        s_mp = s_mp + jnp.dot(
+            vals * valid, ph0.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        s_p = s_p + jnp.dot(
+            valid, ph0.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        n_val = n_val + jnp.dot(
+            valid, phv.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return (s_mp, s_p, n_val), None
+
+    init = (
+        jnp.zeros((L, p), jnp.float32),
+        jnp.zeros((L, p), jnp.float32),
+        jnp.zeros((L, p), jnp.float32),
+    )
+    (s_mp, s_p, n_val), _ = jax.lax.scan(mp_step, init, jnp.arange(n_chunks))
+    mp_rows = (s_mp - mean_r[:, None] * s_p) / (n_val * std_r[:, None])
+    mp_all = jax.lax.all_gather(mp_rows, axis, tiled=True)  # (vp, p)
+
+    s_pp = jnp.dot(phen0, phen0.T, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    n_pp = jnp.dot(phenv, phenv.T, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    C_pp = s_pp / n_pp
+
     # final column layout: [markers 0:m | traits m:m+p | pads m+p:vp]
     stripe = jnp.concatenate(
-        [k_all[:, :m], jnp.zeros((L, p), jnp.float32), k_all[:, m:]],
-        axis=1,
-    )  # (L, vp); the trait-column placeholder is filled just below
+        [k_all[:, :m], mp_rows, k_all[:, m:]], axis=1
+    )  # (L, vp)
     vp = stripe.shape[1]
     g_row = me * L + jnp.arange(L)
-    # trait COLUMNS: C[r, m + t] = trait_full[t, r]
-    tcols = trait_full[:, :].T[g_row]  # (L, p) via global row index
-    stripe = jax.lax.dynamic_update_slice(stripe, tcols, (0, m))
-    # trait ROWS: overwrite the whole row from trait_full
+    # trait ROWS: [mp.T markers | pp | zeros pads]
+    trait_full = jnp.concatenate(
+        [mp_all[:m].T, C_pp, jnp.zeros((p, vp - m - p), jnp.float32)], axis=1
+    )  # (p, vp)
     trows = trait_full[jnp.clip(trait_of, 0, p - 1)]  # (L, vp)
     stripe = jnp.where(is_trait[:, None], trows, stripe)
     # diagonal 1, inert pads (zero off-diagonal beyond v = m + p)

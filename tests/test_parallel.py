@@ -343,3 +343,53 @@ print("PARTITION", *process_partition())
         assert toks[1] == "2"
         seen.add(int(toks[2]))
     assert seen == {0, 1}
+
+
+def test_block_dp_times_panel_tp_byte_identical(tmp_path):
+    """Block data-parallelism COMPOSED with panel tensor-parallelism: two
+    partitions, each sharding its blocks over its OWN 4-device group
+    (`partition_mesh`), produce block outputs byte-identical to the flat
+    single-device single-partition run (SURVEY §2.4 row 1; replaces the
+    reference's one-cluster-job-per-block loop, `ci-gwas.py:100-104`)."""
+    import hashlib
+    import os
+
+    import jax
+
+    from cigwas_tpu.parallel import run_all_blocks
+    from cigwas_tpu.parallel.runner import partition_mesh
+
+    assert len(jax.devices()) >= 8
+    stem, blockfile, n_blocks = _write_sim_dataset(tmp_path)
+
+    def hashes(d):
+        return {
+            f: hashlib.md5(open(os.path.join(d, f), "rb").read()).hexdigest()
+            for f in sorted(os.listdir(d))
+        }
+
+    flat = tmp_path / "out_flat"
+    flat.mkdir()
+    run_all_blocks(
+        stem + ".phen", stem, blockfile, 0.001, 3, 14, 1, str(flat),
+        verbose=False,
+    )
+    for panel_mode in ("replicated", "rowsharded"):
+        outdir = tmp_path / f"out_dp_tp_{panel_mode}"
+        outdir.mkdir()
+        covered = []
+        for pi in range(2):
+            mesh = partition_mesh(4, pi)
+            assert [d.id for d in mesh.devices.flat] == [
+                4 * pi + k for k in range(4)
+            ]
+            res = run_all_blocks(
+                stem + ".phen", stem, blockfile, 0.001, 3, 14, 1,
+                str(outdir), num_partitions=2, partition_index=pi,
+                verbose=False, mesh=mesh, panel_mode=panel_mode,
+            )
+            covered.extend(res.keys())
+        assert len(covered) == n_blocks
+        assert hashes(str(outdir)) == hashes(str(flat)), (
+            f"DPxTP ({panel_mode}) block outputs differ from the flat run"
+        )
