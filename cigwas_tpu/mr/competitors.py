@@ -257,8 +257,10 @@ def mr_presso(
     if res.global_p >= signif:
         return res
 
-    # outlier test: empirical upper tail per SNP, Bonferroni over J
-    p_out = (res_sim2 > res_obs2[None, :]).mean(axis=0) * j
+    # outlier test: empirical upper tail per SNP, Bonferroni over J capped
+    # at 1 (MRPRESSO caps via pmin(..., 1); selection uses < signif —
+    # `which(OutlierTest$Pvalue < SignifThreshold)` in MR_PRESSO.R)
+    p_out = np.minimum((res_sim2 > res_obs2[None, :]).mean(axis=0) * j, 1.0)
     res.outlier_p = p_out
     outliers = np.where(p_out < signif)[0]
     res.outliers = tuple(int(i) for i in outliers)
@@ -337,7 +339,10 @@ def run_presso_analyses(
     out: list[MrPressoResult] = []
     for tr1 in range(p):
         ivs = np.where(g_it[:, tr1])[0]
-        if len(ivs) == 0:
+        if len(ivs) < 4:
+            # MRPRESSO stops with "Not enough intrumental variables" for
+            # < 4 IVs and run_mr.R's try() drops the pair — no row emitted
+            # (row parity with run_mr.R:214-248; ADVICE r3)
             continue
         for tr2 in range(p):
             if tr1 == tr2:

@@ -1,0 +1,180 @@
+"""Pallas DMA local-panel gather: the level >= 2 hot-path feeder.
+
+Every level >= 2 kernel consumes per-node LOCAL panels
+
+    Cb[i] = C[nbrs[i, :, None], nbrs[i, None, :]]   (nt, d, d)
+    qb[i] = C[node_ixs[i], nbrs[i]]                 (nt, d)
+
+The XLA gather that builds them reads d^2 scattered f32 elements per node
+and runs at ~2.4 GB/s effective on the v5e (README "Pallas findings") —
+the measured bound on levels 2/3 of a production block (the reference's
+equivalent per-thread reads are `cuPC-S.cu:584-871`, served by the GPU's
+L2). This kernel exploits the structure the XLA gather ignores: in LD
+data a node's neighbours cluster in a CONTIGUOUS marker window, so
+
+* one grid program per node issues ONE aligned 2-D DMA of the (W, W)
+  panel window covering the node's neighbour span (both dims 128-aligned,
+  which the (8, 128) HBM tiling requires — single scattered rows are not
+  DMA-able at all),
+* the row and column selections run on the MXU as one-hot matmuls:
+  out = R @ window @ S with R[j, l] = (base + l == rowix[j]) and
+  S[l, k] = (base + l == nbrs[k]). A one-hot dot accumulates exactly one
+  nonzero term, so the gathered VALUES are bit-identical to the XLA
+  gather. NaNs (which the panel carries for undefined correlations and
+  which a NaN*0 term would smear across the dot) ride a parallel 0/1
+  count matmul and are re-inserted afterwards,
+* per node this moves W^2 * 4 bytes (1 MB at W=512) sequentially instead
+  of d^2 scattered element reads — and W adapts per launch to the widest
+  span in the tile (pow2 bucket, fallback to the XLA gather when a span
+  exceeds MAX_W).
+
+The sweep math itself stays in the existing jitted `*_local_sweep_pre` /
+`level_scan_minrho_pre` consumers, so adjacency decisions cannot drift:
+this kernel only changes WHERE the same f32 values come from.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MIN_W = 256
+# (W, W) f32 window must fit VMEM next to the one-hots and outputs
+MAX_W = 1024
+
+
+def plan_window(node_ixs, nbrs, deg, vp: int):
+    """Host-side launch plan: (base (nt,) int32, W, nbrs_w) or None.
+
+    base[i] is the 128-aligned window start covering node i's VALID
+    neighbours and its own row; W is the smallest pow2 window (>= MIN_W,
+    <= MAX_W) that covers every node's span. Pad slots (nbrs[i, j] with
+    j >= deg[i], stored as 0 by `_compact_neighbors`) would wreck the span,
+    so nbrs_w remaps them to the node's own index — every consumer masks
+    pad slots by deg, so gathered pad VALUES are never read.
+    Returns None when any span exceeds MAX_W (caller falls back to the
+    XLA gather).
+    """
+    node_ixs = np.asarray(node_ixs, dtype=np.int32)
+    nbrs = np.asarray(nbrs, dtype=np.int32)
+    deg = np.asarray(deg, dtype=np.int32)
+    nt, d = nbrs.shape
+    valid = np.arange(d)[None, :] < deg[:, None]
+    nbrs_w = np.where(valid, nbrs, node_ixs[:, None]).astype(np.int32)
+    lo = np.minimum(nbrs_w.min(axis=1), node_ixs)
+    hi = np.maximum(nbrs_w.max(axis=1), node_ixs)
+    base = (lo // 128) * 128
+    span = int((hi - base).max()) + 1 if nt else 1
+    W = MIN_W
+    while W < span:
+        W *= 2
+    if W > vp:
+        # a small panel between pow2 buckets: the whole panel is the
+        # window (vp is a multiple of 128 by the shape buckets)
+        W = vp
+    if W > MAX_W or span > W:
+        return None
+    base = np.minimum(base, max(vp - W, 0)).astype(np.int32)
+    return base, W, nbrs_w
+
+
+def _window_kernel(base_ref, nbr_ref, C_hbm, Cb_ref, qb_ref, win_buf, sem,
+                   *, d: int, W: int):
+    i = pl.program_id(0)
+    b = base_ref[i]
+    pltpu.make_async_copy(
+        C_hbm.at[pl.ds(b, W), pl.ds(b, W)], win_buf, sem
+    ).start()
+
+    nbr = nbr_ref[0, 0, :d]      # (d,) neighbour ids
+    rowix = nbr_ref[0, 1, :]     # (d + 8,) = [nbrs, node_ix, pads]
+    l_ids_r = jax.lax.broadcasted_iota(jnp.int32, (d + 8, W), 1) + b
+    R = (l_ids_r == rowix[:, None]).astype(jnp.float32)  # (d+8, W)
+    l_ids_c = jax.lax.broadcasted_iota(jnp.int32, (W, d), 0) + b
+    S = (l_ids_c == nbr[None, :]).astype(jnp.float32)  # (W, d)
+
+    pltpu.make_async_copy(
+        C_hbm.at[pl.ds(b, W), pl.ds(b, W)], win_buf, sem
+    ).wait()
+    win = win_buf[...]
+    isn = jnp.isnan(win)
+    t_val = jnp.dot(R, jnp.where(isn, 0.0, win),
+                    preferred_element_type=jnp.float32)  # (d+8, W)
+    t_nan = jnp.dot(R, isn.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+    val = jnp.dot(t_val, S, preferred_element_type=jnp.float32)  # (d+8, d)
+    nan = jnp.dot(t_nan, S, preferred_element_type=jnp.float32)
+    out = jnp.where(nan > 0.5, jnp.float32(jnp.nan), val)
+    Cb_ref[0] = out[:d]
+    qb_ref[0, 0] = out[d]
+
+
+@partial(jax.jit, static_argnames=("W", "interpret"))
+def _gather_windowed(C, base, rowix, nbrs2, W: int, interpret: bool):
+    nt = base.shape[0]
+    d = nbrs2.shape[-1] - 8
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, 2, d + 8), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # C stays in HBM
+        ],
+        out_specs=(
+            pl.BlockSpec((1, d, d), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((W, W), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    Cb, qb = pl.pallas_call(
+        partial(_window_kernel, d=d, W=W),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((nt, d, d), jnp.float32),
+            jax.ShapeDtypeStruct((nt, 1, d), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(base, jnp.stack([nbrs2, rowix], axis=1), C)
+    return Cb, qb[:, 0, :]
+
+
+def gather_local_panels(C, node_ixs, nbrs, deg, interpret: bool = False):
+    """(Cb (nt, d, d), qb (nt, d)) via the windowed DMA gather — VALID
+    entries (j < deg) bit-identical to the XLA gathers
+    ``C[nbrs[:, :, None], nbrs[:, None, :]]`` / ``C[node_ixs[:, None],
+    nbrs]`` including NaN positions; pad slots gather the node's own
+    row/column instead of row 0 (consumers mask them by deg).
+    Returns None when the neighbour spans exceed MAX_W (caller uses the
+    XLA gather).
+    """
+    vp = int(C.shape[0])
+    plan = plan_window(node_ixs, nbrs, deg, vp)
+    if plan is None:
+        return None
+    base, W, nbrs_w = plan
+    nt, d = nbrs_w.shape
+    # rowix rows: [nbrs | node_ix | repeats] so the kernel's (d+8) one-hot
+    # covers qb's row too (the 7 repeat slots are discarded)
+    rowix = np.concatenate(
+        [nbrs_w, np.repeat(np.asarray(node_ixs, np.int32)[:, None], 8, axis=1)],
+        axis=1,
+    )
+    nbrs2 = np.concatenate(
+        [nbrs_w, np.zeros((nt, 8), np.int32)], axis=1
+    )  # padded to d+8 lanes to match rowix's shape
+    return _gather_windowed(
+        C, jnp.asarray(base), jnp.asarray(rowix), jnp.asarray(nbrs2),
+        W, interpret,
+    )

@@ -200,6 +200,13 @@ def level_scan_minrho(C, node_ixs, nbrs, deg, combos_seq, left_seq, l: int):
     return level_scan_minrho_pre(C_x, c_row, deg, combos_seq, left_seq, l)
 
 
+@partial(jax.jit, static_argnames=("l",))
+def level_scan_minrho_pre_jit(C_x, c_row, deg, combos_seq, left_seq, l: int):
+    """Jitted entry for pre-gathered local panels (the Pallas DMA gather
+    route feeds this; the plain `level_scan_minrho` inlines the body)."""
+    return level_scan_minrho_pre(C_x, c_row, deg, combos_seq, left_seq, l)
+
+
 def level_scan_minrho_pre(C_x, c_row, deg, combos_seq, left_seq, l: int):
     """`level_scan_minrho` on PRE-GATHERED local panels (the row-sharded
     engine builds them with a ring pass over the panel shards)."""

@@ -152,16 +152,48 @@ MERGE_SLOT_BUDGET = 1 << 29
 # this to () to force-compare the two paths
 LOCAL_LEVELS = (2, 3)
 # largest panel routed through the device-resident level loop
-# (`_run_levels_local_dev`): single-launch-per-level working sets stay
-# fusion-resident up to this size (measured on the v5e; larger panels go
-# through the bucketed host loop whose tiles respect LOCAL_ELEM_BUDGET).
-# Probes/tests override via env or module attribute.
-DEV_RESIDENT_MAX = int(os.environ.get("CIGWAS_DEV_RESIDENT_MAX", 4096))
+# (`_run_levels_local_dev`). Measured on the v5e (scripts/probe_r4_routes.py,
+# min-of-3, want_pmax=False): the loop wins at m <= 1024 (0.48/0.82 s vs the
+# host loop's 0.53/1.13 s — fewer relay round trips) but its fused level-3
+# sweep is ~2x slower from m = 2048 up (1.02 s vs 0.55 s at 2048; the
+# single-launch working set stops fitting the fusion budget), so larger
+# panels go through the bucketed host loop. Probes/tests override via env
+# or module attribute.
+DEV_RESIDENT_MAX = int(os.environ.get("CIGWAS_DEV_RESIDENT_MAX", 1536))
 # largest padded level-1 max degree for which level 1 runs as the
 # neighbour-list local sweep (sum(deg^2) work) instead of the dense v^3
 # sweep; measured on the v5e the crossover is well below the v/16 FLOP
 # estimate because the ~2.4 GB/s panel gather dominates
 L1_LOCAL_MAX_WIDTH = int(os.environ.get("CIGWAS_L1_LOCAL_MAX_WIDTH", 128))
+# Pallas DMA local-panel gather (ops/pallas/panel_gather.py) for the
+# level >= 2 kernels: "auto" routes through it on TPU when the shapes
+# qualify, "1" forces it (interpreted off-TPU), "0" disables
+PALLAS_GATHER = os.environ.get("CIGWAS_PALLAS_GATHER", "auto")
+
+
+def _pallas_gather_route(C_dev, d_pad: int):
+    """None if the XLA gather should be used, else the windowed DMA gather
+    callable (which itself returns None per launch when a neighbour span
+    exceeds its window cap — callers fall back per tile)."""
+    if PALLAS_GATHER == "0":
+        return None
+    from cigwas_tpu.ops.pallas import panel_gather as pg
+
+    vp = int(C_dev.shape[0])
+    if vp % 128 or d_pad < 32:  # lane-padded one-hots waste >4x below 32
+        return None
+    if PALLAS_GATHER == "1":
+        try:
+            on_tpu = next(iter(C_dev.devices())).platform == "tpu"
+        except Exception:
+            on_tpu = False
+        return partial(pg.gather_local_panels, interpret=not on_tpu)
+    try:
+        if next(iter(C_dev.devices())).platform != "tpu":
+            return None
+    except Exception:
+        return None
+    return pg.gather_local_panels
 
 
 def _local_tile_plan(deg_all: np.ndarray, active: np.ndarray, l: int):
@@ -449,11 +481,16 @@ def _run_level_local(
         return removed, rho_full, sep_full
 
     sweep = {2: pcorr_ops.level2_local_sweep, 3: pcorr_ops.level3_local_sweep}[l]
+    sweep_pre = {
+        2: pcorr_ops.level2_local_sweep_pre,
+        3: pcorr_ops.level3_local_sweep_pre,
+    }[l]
     if engine is not None:
         sweep = {2: engine.level2_local_sweep, 3: engine.level3_local_sweep}[l]
 
     pending = []
     for d_pad, nodes, ct, node_tile in _local_tile_plan(deg_all, active, l):
+        gather = _pallas_gather_route(C_dev, d_pad) if engine is None else None
         if engine is not None:
             # BYTE-IDENTITY INVARIANT: XLA's fused elementwise numerics for
             # the local sweeps depend on the batch (node-tile) shape, so the
@@ -479,10 +516,21 @@ def _run_level_local(
                 else tile
             )
             nbrs, deg = _compact_neighbors(Gb, tile_p, d_pad)
-            rho_dev, pos_dev = sweep(
-                C_dev, jnp.asarray(tile_p), jnp.asarray(nbrs), jnp.asarray(deg),
-                ct,
+            got = (
+                gather(C_dev, tile_p, nbrs, deg)
+                if gather is not None else None
             )
+            if got is not None:
+                # windowed DMA gather + one-hot select feeds the SAME
+                # jitted sweep math (`*_local_sweep_pre`) with
+                # bit-identical local panels — see ops/pallas/panel_gather
+                Cb, qb = got
+                rho_dev, pos_dev = sweep_pre(Cb, qb, jnp.asarray(deg), ct=ct)
+            else:
+                rho_dev, pos_dev = sweep(
+                    C_dev, jnp.asarray(tile_p), jnp.asarray(nbrs),
+                    jnp.asarray(deg), ct,
+                )
             pending.append((tile, nbrs, deg, rho_dev, pos_dev))
 
     for _, _, _, rho_dev, pos_dev in pending:
@@ -646,6 +694,10 @@ def _run_level(
         pending = []
         next_work = []
         for d_pad, remaining, offset in work:
+            gather = (
+                _pallas_gather_route(C_dev, d_pad)
+                if engine is None and hetcor_args is None else None
+            )
             nodes = np.array(remaining, dtype=np.int32)
             per_node_elems = chunk * d_pad * max(l, 1)
             node_tile = max(1, min(len(nodes), ELEM_BUDGET // per_node_elems))
@@ -705,15 +757,26 @@ def _run_level(
                     else pcorr_ops.level_scan_hetcor
                 )
                 if hetcor_args is None:
-                    rho_dev, rank_dev = scan_minrho(
-                        C_dev,
-                        jnp.asarray(tile_p),
-                        jnp.asarray(nbrs),
-                        jnp.asarray(deg),
-                        combos_seq,
-                        jnp.asarray(left_seq),
-                        l,
+                    got = (
+                        gather(C_dev, tile_p, nbrs, deg)
+                        if gather is not None else None
                     )
+                    if got is not None:
+                        Cb, qb = got
+                        rho_dev, rank_dev = pcorr_ops.level_scan_minrho_pre_jit(
+                            Cb, qb, jnp.asarray(deg), combos_seq,
+                            jnp.asarray(left_seq), l,
+                        )
+                    else:
+                        rho_dev, rank_dev = scan_minrho(
+                            C_dev,
+                            jnp.asarray(tile_p),
+                            jnp.asarray(nbrs),
+                            jnp.asarray(deg),
+                            combos_seq,
+                            jnp.asarray(left_seq),
+                            l,
+                        )
                 else:
                     N_dev, t_dev, th = hetcor_args
                     rho_dev = scan_hetcor(
@@ -871,7 +934,7 @@ def skeleton(
             and not l1_local
         ):
             pre_l1 = pcorr_ops.level1_dense_dispatch(
-                C_dev, G0_dev, float(np.tanh(float(th[1])))
+                C_dev, G0_dev, float(np.float32(np.tanh(float(th[1]))))
             )
         if want_pmax:
             t_mark = time.perf_counter() if stats is not None else 0.0
@@ -939,7 +1002,11 @@ def skeleton(
         if verbose:
             print(f"[skeleton] level {l}: max degree {nprime}")
         t_level = time.perf_counter() if stats is not None else 0.0
-        rho_th = float(np.tanh(float(th[l])))
+        # pre-round the threshold to f32 so the host-side compares (numpy
+        # promotes f32 rho vs Python float to f64) decide identically to
+        # the device-resident loop's f32 compare — which is also what the
+        # CUDA reference does (route parity; ADVICE r3)
+        rho_th = float(np.float32(np.tanh(float(th[l]))))
         l1_local_now = (
             l == 1
             and engine is None
