@@ -467,6 +467,15 @@ def _phase_partition_scaling(result):
         ncores = os.cpu_count() or 2
 
         def procs_pass(tag, nparts):
+            """(outer wall, max per-worker in-run wall) for one pass.
+
+            The in-run wall is each worker's own timing of run_all_blocks
+            (printed as JSON by `run_partition_process`) — it excludes the
+            one-time process startup (interpreter + jax backend init,
+            ~10-15 s here) that a production worker amortizes over its
+            whole partition stream; in-run compiles hit the warm
+            persistent cache and ARE included.
+            """
             outdir = os.path.join(td, f"out_mp_{tag}")
             os.makedirs(outdir, exist_ok=True)
             t0 = time.perf_counter()
@@ -476,24 +485,38 @@ def _phase_partition_scaling(result):
                      _sys.executable, "-m", "cigwas_tpu.parallel.distributed",
                      stem + ".phen", stem, blockfile, "1e-4", "3", "14", "1",
                      outdir, str(nparts), str(pi)],
-                    env=env, stdout=subprocess.DEVNULL,
-                    stderr=subprocess.DEVNULL,
+                    env=env, stdout=subprocess.PIPE,
+                    stderr=subprocess.DEVNULL, text=True,
                 )
                 for pi in range(nparts)
             ]
+            inner = []
             for p in ps:
-                if p.wait() != 0:
+                out, _ = p.communicate()
+                if p.returncode != 0:
                     raise RuntimeError(f"partition worker failed ({tag})")
-            return time.perf_counter() - t0
+                inner.append(json.loads(out.splitlines()[-1])["wall_s"])
+            return time.perf_counter() - t0, max(inner)
 
         procs_pass("warm", 1)  # child process compile warmup (fills cache)
-        mp1 = min(procs_pass("p1a", 1), procs_pass("p1b", 1))
-        mp2 = min(procs_pass("p2a", 2), procs_pass("p2b", 2))
+        o1a, i1a = procs_pass("p1a", 1)
+        o1b, i1b = procs_pass("p1b", 1)
+        o2a, i2a = procs_pass("p2a", 2)
+        o2b, i2b = procs_pass("p2b", 2)
+        mp1, mp2 = min(o1a, o1b), min(o2a, o2b)
+        in1, in2 = min(i1a, i1b), min(i2a, i2b)
         result["mproc_wall_1proc_s"] = round(mp1, 2)
         result["mproc_wall_2proc_s"] = round(mp2, 2)
+        result["mproc_inner_wall_1proc_s"] = round(in1, 2)
+        result["mproc_inner_wall_2proc_s"] = round(in2, 2)
         # 1 worker does ALL blocks on one core; 2 workers do their halves
-        # concurrently on one core each -> ideal wall ratio is 2x
-        result["measured_scaling_2proc"] = round(min(1.0, mp1 / (2 * mp2)), 3)
+        # concurrently on one core each -> ideal wall ratio is 2x. The
+        # scaling figure uses the in-run walls (startup amortized; see
+        # procs_pass); the raw outer-wall figure is kept alongside.
+        result["measured_scaling_2proc"] = round(min(1.0, in1 / (2 * in2)), 3)
+        result["measured_scaling_2proc_incl_startup"] = round(
+            min(1.0, mp1 / (2 * mp2)), 3
+        )
 
 
 def main() -> int:

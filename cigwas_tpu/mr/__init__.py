@@ -1,4 +1,5 @@
 from cigwas_tpu.mr.mvivw import run_mvivw, run_mvivw_filtered, mv_ivw_regression
+from cigwas_tpu.mr.cause import cause_fit, est_cause_params, run_cause_analyses
 from cigwas_tpu.mr.competitors import (
     gwas_associations,
     mr_egger,
@@ -20,4 +21,7 @@ __all__ = [
     "run_pairwise_mr_analyses",
     "run_presso_analyses",
     "run_mr_benchmark",
+    "cause_fit",
+    "est_cause_params",
+    "run_cause_analyses",
 ]

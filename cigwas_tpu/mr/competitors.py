@@ -22,8 +22,9 @@ the benchmark invokes (`run_mr.R:231-240`: OUTLIERtest=T, DISTORTIONtest=T,
 NbDistribution=1000, SignifThreshold=0.1); Monte-Carlo p-values cannot be
 bit-identical to the R package's RNG stream, so tests pin the method's
 contracts (null calibration, planted-outlier detection and correction)
-instead of golden values. CAUSE is a full external variational-Bayes R
-package and stays out of scope (`run_mr.R:96-135`).
+instead of golden values. CAUSE (`run_mr.R:96-135`) is ported natively in
+:mod:`cigwas_tpu.mr.cause` (grid-posterior fit; see its docstring for the
+two documented divergences from the R package).
 """
 
 from __future__ import annotations
@@ -366,11 +367,14 @@ def run_mr_benchmark(
     robust: bool = True,
     presso: bool = False,
     presso_n_dist: int = 1000,
+    cause: bool = False,
 ) -> dict:
     """The run_mr.R flow on raw data: GWAS scan -> instrument selection ->
-    pairwise IVW + Egger (+ MR-PRESSO when ``presso``). Returns {"ivw":
-    [...], "egger": [...], "presso": [...], "g_it": (m, p) bool,
-    "gwas": (beta, se, z, p)}."""
+    pairwise IVW + Egger (+ MR-PRESSO when ``presso``, + CAUSE when
+    ``cause``). Returns {"ivw": [...], "egger": [...], "presso": [...],
+    "cause": [...], "g_it": (m, p) bool, "gwas": (beta, se, z, p)}."""
+    from cigwas_tpu.mr.cause import run_cause_analyses
+
     beta, se, z, pval = gwas_associations(snps, traits)
     g_it = pval < alpha
     return {
@@ -385,6 +389,7 @@ def run_mr_benchmark(
             if presso
             else []
         ),
+        "cause": run_cause_analyses(g_it, beta, se) if cause else [],
         "g_it": g_it,
         "gwas": (beta, se, z, pval),
     }

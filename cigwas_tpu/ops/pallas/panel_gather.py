@@ -86,7 +86,7 @@ def plan_window(node_ixs, nbrs, deg, vp: int):
 def _window_kernel(base_ref, nbr_ref, C_hbm, Cb_ref, qb_ref, win_buf, sem,
                    *, d: int, W: int):
     i = pl.program_id(0)
-    b = base_ref[i]
+    b = pl.multiple_of(base_ref[i], 128)  # plan_window aligns bases to 128
     pltpu.make_async_copy(
         C_hbm.at[pl.ds(b, W), pl.ds(b, W)], win_buf, sem
     ).start()
@@ -103,12 +103,19 @@ def _window_kernel(base_ref, nbr_ref, C_hbm, Cb_ref, qb_ref, win_buf, sem,
     ).wait()
     win = win_buf[...]
     isn = jnp.isnan(win)
-    t_val = jnp.dot(R, jnp.where(isn, 0.0, win),
+    # HIGHEST precision is REQUIRED for bit-identity: the default single
+    # bf16 MXU pass rounds the gathered f32 values; the multi-pass f32
+    # scheme is exact for one-hot selections (0/1 operands are exact and
+    # the hi/lo split reassembles the f32 value)
+    hi = jax.lax.Precision.HIGHEST
+    t_val = jnp.dot(R, jnp.where(isn, 0.0, win), precision=hi,
                     preferred_element_type=jnp.float32)  # (d+8, W)
-    t_nan = jnp.dot(R, isn.astype(jnp.float32),
+    t_nan = jnp.dot(R, isn.astype(jnp.float32), precision=hi,
                     preferred_element_type=jnp.float32)
-    val = jnp.dot(t_val, S, preferred_element_type=jnp.float32)  # (d+8, d)
-    nan = jnp.dot(t_nan, S, preferred_element_type=jnp.float32)
+    val = jnp.dot(t_val, S, precision=hi,
+                  preferred_element_type=jnp.float32)  # (d+8, d)
+    nan = jnp.dot(t_nan, S, precision=hi,
+                  preferred_element_type=jnp.float32)
     out = jnp.where(nan > 0.5, jnp.float32(jnp.nan), val)
     Cb_ref[0] = out[:d]
     qb_ref[0, 0] = out[d]

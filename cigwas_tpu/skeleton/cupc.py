@@ -182,6 +182,10 @@ def _pallas_gather_route(C_dev, d_pad: int):
     vp = int(C_dev.shape[0])
     if vp % 128 or d_pad < 32:  # lane-padded one-hots waste >4x below 32
         return None
+    if PALLAS_GATHER == "auto" and vp < 4096:
+        # measured (probe_r4_pallas_gather): 4.3x at the 11k panel, a wash
+        # at 2048 (the XLA gather only collapses on big panels)
+        return None
     if PALLAS_GATHER == "1":
         try:
             on_tpu = next(iter(C_dev.devices())).platform == "tpu"

@@ -33,15 +33,27 @@ def main():
 
     rng = np.random.default_rng(0)
     vp, d, nt, span = 11264, 128, 512, 400  # LD-like clustered neighbours
-    C = rng.normal(size=(vp, vp)).astype(np.float32)
-    C[rng.random((vp, vp)) < 0.001] = np.nan
+    # build the big panel ON DEVICE (a >50 MB host upload can stall the
+    # relay indefinitely — CLAUDE.md); upload only a (vp, 64) factor
+    A = rng.normal(size=(vp, 64)).astype(np.float32)
+
+    @jax.jit
+    def build_panel(Ad):
+        Cd = jnp.dot(Ad, Ad.T, preferred_element_type=jnp.float32)
+        dg = jax.lax.rsqrt(jnp.diagonal(Cd))
+        Cd = Cd * dg[:, None] * dg[None, :]
+        # sparse NaNs to exercise the NaN-count path
+        key = jax.random.PRNGKey(0)
+        mask = jax.random.uniform(key, Cd.shape) < 0.001
+        return jnp.where(mask, jnp.nan, Cd)
+
+    C_dev = build_panel(jax.device_put(A))
     centers = rng.integers(0, vp, nt)
     lo = np.clip(centers - span // 2, 0, vp - span)
     nbrs = (lo[:, None] + rng.integers(0, span, (nt, d))).astype(np.int32)
     nbrs.sort(axis=1)
     node_ixs = np.clip(centers, lo, lo + span - 1).astype(np.int32)
     deg = np.full(nt, d, np.int32)
-    C_dev = jnp.asarray(C)
     nb_dev = jnp.asarray(nbrs)
     nx_dev = jnp.asarray(node_ixs)
 
@@ -53,15 +65,19 @@ def main():
 
     W = plan_window(node_ixs, nbrs, deg, vp)[1]
 
-    # warmup + bit-identity
+    # warmup + bit-identity (compared ON DEVICE; fetching the 33 MB local
+    # panels over the relay would dominate the probe)
     Cb_x, qb_x = xla_gather(C_dev, nx_dev, nb_dev)
     Cb_p, qb_p = gather_local_panels(C_dev, node_ixs, nbrs, deg)
-    bx, qx, bp, qp = fetch(Cb_x), fetch(qb_x), fetch(Cb_p), fetch(qb_p)
-    biteq = (
-        np.array_equal(np.isnan(bx), np.isnan(bp))
-        and np.array_equal(np.nan_to_num(bx), np.nan_to_num(bp))
-        and np.array_equal(np.nan_to_num(qx), np.nan_to_num(qp))
-    )
+
+    @jax.jit
+    def same(a, b, qa, qc):
+        eq = jnp.array_equal(jnp.nan_to_num(a), jnp.nan_to_num(b))
+        eqn = jnp.array_equal(jnp.isnan(a), jnp.isnan(b))
+        eqq = jnp.array_equal(jnp.nan_to_num(qa), jnp.nan_to_num(qc))
+        return eq & eqn & eqq
+
+    biteq = bool(fetch(same(Cb_x, Cb_p, qb_x, qb_p)))
 
     def timeit(fn, reps=5):
         walls = []

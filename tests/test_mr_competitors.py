@@ -174,3 +174,59 @@ def test_instrument_selection_pleiotropy_filter():
         return d.get(pair)
 
     assert (nivs(strict, (0, 1)) or 0) <= (nivs(loose, (0, 1)) or 0)
+
+
+class TestCause:
+    """CAUSE port (`run_cause_on_tr`, run_mr.R:97-135): method contracts
+    on simulated data — the R package's grid/loo internals cannot be
+    golden-pinned without R, so tests pin the decisions the benchmark
+    consumes (gamma median, sharing-vs-causal p)."""
+
+    @staticmethod
+    def _simulate(gamma, eta, q, n_iv=200, seed=0):
+        rng = np.random.default_rng(seed)
+        se1 = np.full(n_iv, 0.02)
+        se2 = np.full(n_iv, 0.02)
+        b1 = rng.normal(0, 0.08, n_iv)
+        Z = rng.random(n_iv) < q
+        theta = rng.normal(0, 0.02, n_iv) * (rng.random(n_iv) < 0.3)
+        bh1 = b1 + rng.normal(0, se1)
+        bh2 = gamma * b1 + eta * Z * b1 + theta + rng.normal(0, se2)
+        return bh1, se1, bh2, se2
+
+    def test_causal_pair_detected(self):
+        from cigwas_tpu.mr.cause import cause_fit
+
+        fit = cause_fit(*self._simulate(0.3, 0.0, 0.0))
+        assert fit.p_value < 0.05  # causal model predicts better
+        assert 0.1 < fit.gamma_median < 0.5
+        assert fit.elpd_causal > fit.elpd_sharing
+
+    def test_shared_confounding_not_called_causal(self):
+        from cigwas_tpu.mr.cause import cause_fit
+
+        fit = cause_fit(*self._simulate(0.0, 0.4, 0.3))
+        assert fit.p_value > 0.1  # sharing explains the data
+        assert abs(fit.gamma_median) < 0.1
+        assert fit.eta_median > 0.1  # correlated pleiotropy picked up
+
+    def test_null_pair(self):
+        from cigwas_tpu.mr.cause import cause_fit
+
+        fit = cause_fit(*self._simulate(0.0, 0.0, 0.0))
+        assert fit.p_value > 0.1
+        assert abs(fit.gamma_median) < 0.1
+
+    def test_run_cause_analyses_rows(self):
+        from cigwas_tpu.mr.cause import run_cause_analyses
+
+        rng = np.random.default_rng(1)
+        m, p = 60, 3
+        effects = rng.normal(0, 0.05, (m, p))
+        ses = np.full((m, p), 0.02)
+        g_it = np.zeros((m, p), bool)
+        g_it[:30, 0] = True  # exposure 0 has IVs; others none
+        rows = run_cause_analyses(g_it, effects, ses)
+        assert [(r[0], r[1]) for r in rows] == [(0, 1), (0, 2)]
+        for r in rows:
+            assert 0.0 <= r[3] <= 1.0
