@@ -224,14 +224,36 @@ def _phase_fused_step_attribution(result):
             float(jnp.asarray(fn(*args)))
         return (time.perf_counter() - t0) / REPS / K_AMORT
 
+    # the SHAPE CEILING: a raw int8 matmul at the contingency shape with
+    # no decode and no epilogue — scripts/probe_r4_mfu.py measured 68.1
+    # TOP/s (17% of the 394 spec peak), pre-decoded contingency 89.4,
+    # fused 65.6, bf16 one-hot 39.6 (exact but slower). The spec-peak MFU
+    # figure therefore measures the SHAPE, not the kernel: this phase
+    # re-measures the ceiling every round so the ratio below stays honest.
+    X8 = jax.device_put(
+        rng.integers(0, 2, size=(3 * M, N), dtype=np.int8)
+    )
+
+    @jax.jit
+    def raw_int8(X):
+        def body(acc, _):
+            c = contingency_counts(X, X)
+            return acc + c[0, 1], None
+
+        s, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(K_AMORT))
+        return s
+
     t_cont = timed(contingency_only, beds)
     t_sweep = timed(sweep_only, C_dev, G_dev)
+    t_raw = timed(raw_int8, X8)
     cont_flops = 2.0 * (3 * M) ** 2 * N
     sweep_flops = 4.0 * float(vp) ** 3
     result["attrib_contingency_s"] = round(t_cont, 5)
     result["attrib_contingency_tops"] = round(cont_flops / t_cont / 1e12, 1)
     result["attrib_l1_sweep_s"] = round(t_sweep, 5)
     result["attrib_l1_sweep_tflops"] = round(sweep_flops / t_sweep / 1e12, 2)
+    result["attrib_shape_ceiling_tops"] = round(cont_flops / t_raw / 1e12, 1)
+    result["mfu_vs_shape_ceiling"] = round(t_raw / t_cont, 3)
 
 
 def _phase_block11k(result):

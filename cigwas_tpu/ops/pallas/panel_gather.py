@@ -70,12 +70,12 @@ def plan_window(node_ixs, nbrs, deg, vp: int):
     hi = np.maximum(nbrs_w.max(axis=1), node_ixs)
     base = (lo // 128) * 128
     span = int((hi - base).max()) + 1 if nt else 1
-    W = MIN_W
-    while W < span:
-        W *= 2
+    # W in multiples of 256 (not pow2): a 527-wide span costs a 768
+    # window instead of 1024 — DMA bytes scale with W^2
+    W = max(MIN_W, -(-span // 256) * 256)
     if W > vp:
-        # a small panel between pow2 buckets: the whole panel is the
-        # window (vp is a multiple of 128 by the shape buckets)
+        # a small panel between buckets: the whole panel is the window
+        # (vp is a multiple of 128 by the shape buckets)
         W = vp
     if W > MAX_W or span > W:
         return None
@@ -85,23 +85,37 @@ def plan_window(node_ixs, nbrs, deg, vp: int):
 
 def _window_kernel(base_ref, nbr_ref, C_hbm, Cb_ref, qb_ref, win_buf, sem,
                    *, d: int, W: int):
+    """Double-buffered across grid steps: TPU grid programs run
+    sequentially on the core and scratch persists, so program i waits on
+    the window DMA program i-1 started for it and prefetches i+1's."""
     i = pl.program_id(0)
-    b = pl.multiple_of(base_ref[i], 128)  # plan_window aligns bases to 128
-    pltpu.make_async_copy(
-        C_hbm.at[pl.ds(b, W), pl.ds(b, W)], win_buf, sem
-    ).start()
+    nt = pl.num_programs(0)
+
+    def win_dma(slot, node):
+        b = pl.multiple_of(base_ref[node], 128)  # bases are 128-aligned
+        return pltpu.make_async_copy(
+            C_hbm.at[pl.ds(b, W), pl.ds(b, W)], win_buf.at[slot], sem.at[slot]
+        )
+
+    @pl.when(i == 0)
+    def _():
+        win_dma(0, 0).start()
+
+    @pl.when(i + 1 < nt)
+    def _():
+        # slot (i+1) % 2 was last read by program i-1, which has finished
+        win_dma((i + 1) % 2, i + 1).start()
 
     nbr = nbr_ref[0, 0, :d]      # (d,) neighbour ids
     rowix = nbr_ref[0, 1, :]     # (d + 8,) = [nbrs, node_ix, pads]
+    b = pl.multiple_of(base_ref[i], 128)
     l_ids_r = jax.lax.broadcasted_iota(jnp.int32, (d + 8, W), 1) + b
     R = (l_ids_r == rowix[:, None]).astype(jnp.float32)  # (d+8, W)
     l_ids_c = jax.lax.broadcasted_iota(jnp.int32, (W, d), 0) + b
     S = (l_ids_c == nbr[None, :]).astype(jnp.float32)  # (W, d)
 
-    pltpu.make_async_copy(
-        C_hbm.at[pl.ds(b, W), pl.ds(b, W)], win_buf, sem
-    ).wait()
-    win = win_buf[...]
+    win_dma(i % 2, i).wait()
+    win = win_buf[i % 2]
     isn = jnp.isnan(win)
     # HIGHEST precision is REQUIRED for bit-identity: the default single
     # bf16 MXU pass rounds the gathered f32 values; the multi-pass f32
@@ -140,8 +154,8 @@ def _gather_windowed(C, base, rowix, nbrs2, W: int, interpret: bool):
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((W, W), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, W, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     Cb, qb = pl.pallas_call(

@@ -416,6 +416,7 @@ def _run_level_local1(
     if active.size:
         pending = []
         for d_pad, nodes, _ct, node_tile in _local_tile_plan(deg_all, active, 1):
+            gather = _pallas_gather_route(C_dev, d_pad)
             for s0 in range(0, len(nodes), node_tile):
                 tile = nodes[s0 : s0 + node_tile]
                 pad = node_tile - len(tile)
@@ -425,10 +426,19 @@ def _run_level_local1(
                     else tile
                 )
                 nbrs, deg = _compact_neighbors(Gb, tile_p, d_pad)
-                rho_dev, pos_dev = pcorr_ops.level1_local_sweep(
-                    C_dev, jnp.asarray(tile_p), jnp.asarray(nbrs),
-                    jnp.asarray(deg),
+                got = (
+                    gather(C_dev, tile_p, nbrs, deg)
+                    if gather is not None else None
                 )
+                if got is not None:
+                    rho_dev, pos_dev = pcorr_ops.level1_local_sweep_pre(
+                        got[0], got[1], jnp.asarray(deg)
+                    )
+                else:
+                    rho_dev, pos_dev = pcorr_ops.level1_local_sweep(
+                        C_dev, jnp.asarray(tile_p), jnp.asarray(nbrs),
+                        jnp.asarray(deg),
+                    )
                 pending.append((tile, nbrs, deg, rho_dev, pos_dev))
         for _, _, _, rho_dev, pos_dev in pending:
             rho_dev.copy_to_host_async()

@@ -130,5 +130,62 @@ def main():
     return 0
 
 
+def bf16_variant():
+    """Append-on probe: contingency via bf16 one-hot (exact: 0/1 operands,
+    f32 accumulation; counts < 2^24) vs the int8 path."""
+    import jax
+    import jax.numpy as jnp
+
+    from cigwas_tpu.ops.corr import _kendall_from_counts
+    from cigwas_tpu.ops.decode import geno_onehot, unpack_bed_codes
+
+    rng = np.random.default_rng(0)
+    beds = jax.device_put(
+        rng.integers(0, 256, size=(K, M, N // 4), dtype=np.uint8)
+    )
+
+    def timed(fn, *args):
+        float(jnp.asarray(fn(*args)))
+        t0 = time.perf_counter()
+        for _ in range(REPS):
+            float(jnp.asarray(fn(*args)))
+        return (time.perf_counter() - t0) / REPS / K
+
+    flops = 2.0 * (3 * M) ** 2 * N
+
+    @jax.jit
+    def cont_bf16(bb):
+        def body(acc, b):
+            codes = unpack_bed_codes(b)
+            X = geno_onehot(codes, dtype=jnp.bfloat16).reshape(3 * M, -1)
+            counts = jnp.dot(X, X.T, preferred_element_type=jnp.float32)
+            C = _kendall_from_counts(counts, M, M)
+            return acc + C[0, 1], None
+        s, _ = jax.lax.scan(body, jnp.float32(0), bb)
+        return s
+
+    t = timed(cont_bf16, beds)
+    print(json.dumps({"probe": "contingency_bf16_decode",
+                      "s_per_call": round(t, 5),
+                      "tops": round(flops / t / 1e12, 1)}), flush=True)
+
+    # exactness: bf16 counts == int8 counts on one block
+    @jax.jit
+    def counts_both(b):
+        codes = unpack_bed_codes(b)
+        Xi = geno_onehot(codes).reshape(3 * M, -1)
+        Xb = geno_onehot(codes, dtype=jnp.bfloat16).reshape(3 * M, -1)
+        ci = jnp.dot(Xi, Xi.T, preferred_element_type=jnp.int32)
+        cb = jnp.dot(Xb, Xb.T, preferred_element_type=jnp.float32)
+        return jnp.array_equal(ci.astype(jnp.float32), cb)
+
+    print(json.dumps({"probe": "contingency_bf16_exact",
+                      "equal": bool(np.asarray(counts_both(beds[0])))}),
+          flush=True)
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    if "--bf16" in sys.argv:
+        bf16_variant()
+    else:
+        sys.exit(main())
