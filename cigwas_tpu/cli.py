@@ -99,7 +99,7 @@ def cmd_cuskss(args):
         outdir=args.outdir,
         ess_mode=args.ess_mode,
     )
-    cuskss(ca)
+    cuskss(ca, mesh=_mesh_from_flag(args), panel_mode=args.panel_mode)
     if args.marker_indices != "NULL":
         reformat_cuskss_merged_output(cusk_dir=args.outdir).write_mm(
             basepath=os.path.join(args.outdir, "cuskss_merged")
@@ -265,6 +265,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="mean_ess semantics for hetcor levels >= 1: 'reference' "
         "reproduces the per-pair int truncation of hetcor-cuPC-S.cu:3068-3089 "
         "(default), 'float' uses full-precision NaN-aware means",
+    )
+    p.add_argument(
+        "--mesh", type=int, default=None, metavar="N",
+        help="run the hetcor level kernels SPMD over a 1-D mesh of N local "
+        "devices (0 = all)",
+    )
+    p.add_argument(
+        "--panel-mode", choices=("replicated", "rowsharded"),
+        default="replicated",
+        help="replicated: corr/ESS panels on every device; rowsharded: "
+        "(vp/D, vp) stripes with ring-pass kernels",
     )
     p.set_defaults(func=cmd_cuskss)
 

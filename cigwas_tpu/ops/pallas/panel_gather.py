@@ -135,8 +135,10 @@ def _window_kernel(base_ref, nbr_ref, C_hbm, Cb_ref, qb_ref, win_buf, sem,
     qb_ref[0, 0] = out[d]
 
 
-@partial(jax.jit, static_argnames=("W", "interpret"))
-def _gather_windowed(C, base, rowix, nbrs2, W: int, interpret: bool):
+def _gather_core(C, base, rowix, nbrs2, W: int, interpret: bool):
+    """Traceable core (no jit): builds the pallas_call so callers can fuse
+    a consumer into the SAME dispatch (the remote relay charges ~0.1-1 s
+    per dispatch, which an extra gather->consumer hop would double)."""
     nt = base.shape[0]
     d = nbrs2.shape[-1] - 8
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -171,15 +173,7 @@ def _gather_windowed(C, base, rowix, nbrs2, W: int, interpret: bool):
     return Cb, qb[:, 0, :]
 
 
-def gather_local_panels(C, node_ixs, nbrs, deg, interpret: bool = False):
-    """(Cb (nt, d, d), qb (nt, d)) via the windowed DMA gather — VALID
-    entries (j < deg) bit-identical to the XLA gathers
-    ``C[nbrs[:, :, None], nbrs[:, None, :]]`` / ``C[node_ixs[:, None],
-    nbrs]`` including NaN positions; pad slots gather the node's own
-    row/column instead of row 0 (consumers mask them by deg).
-    Returns None when the neighbour spans exceed MAX_W (caller uses the
-    XLA gather).
-    """
+def _plan_inputs(C, node_ixs, nbrs, deg):
     vp = int(C.shape[0])
     plan = plan_window(node_ixs, nbrs, deg, vp)
     if plan is None:
@@ -195,7 +189,58 @@ def gather_local_panels(C, node_ixs, nbrs, deg, interpret: bool = False):
     nbrs2 = np.concatenate(
         [nbrs_w, np.zeros((nt, 8), np.int32)], axis=1
     )  # padded to d+8 lanes to match rowix's shape
-    return _gather_windowed(
+    return base, W, rowix, nbrs2
+
+
+_FUSED_CACHE: dict = {}
+
+
+def gather_apply(C, node_ixs, nbrs, deg, consumer, key, extra=(),
+                 interpret: bool = False):
+    """Run ``consumer(Cb, qb, deg, *extra)`` with the windowed gather fused
+    into ONE jitted dispatch (measured at the 11k block: a separate
+    gather->consumer hop costs an extra relay dispatch PER LAUNCH and
+    erases the gather's 4.3x win). ``key`` identifies the consumer (+ its
+    static config) in the jit cache. Returns None when no window plan
+    exists (caller falls back to the XLA route)."""
+    plan = _plan_inputs(C, node_ixs, nbrs, deg)
+    if plan is None:
+        return None
+    base, W, rowix, nbrs2 = plan
+    cache_key = (key, W, interpret)
+    fn = _FUSED_CACHE.get(cache_key)
+    if fn is None:
+        def fused(C_, base_, rowix_, nbrs2_, deg_, *extra_):
+            Cb, qb = _gather_core(C_, base_, rowix_, nbrs2_, W, interpret)
+            return consumer(Cb, qb, deg_, *extra_)
+
+        fn = jax.jit(fused)
+        _FUSED_CACHE[cache_key] = fn
+    return fn(
         C, jnp.asarray(base), jnp.asarray(rowix), jnp.asarray(nbrs2),
-        W, interpret,
+        jnp.asarray(np.asarray(deg)), *extra,
+    )
+
+
+def gather_local_panels(C, node_ixs, nbrs, deg, interpret: bool = False):
+    """(Cb (nt, d, d), qb (nt, d)) via the windowed DMA gather — VALID
+    entries (j < deg) bit-identical to the XLA gathers
+    ``C[nbrs[:, :, None], nbrs[:, None, :]]`` / ``C[node_ixs[:, None],
+    nbrs]`` including NaN positions; pad slots gather the node's own
+    row/column instead of row 0 (consumers mask them by deg).
+    Returns None when the neighbour spans exceed MAX_W (caller uses the
+    XLA gather).
+    """
+    plan = _plan_inputs(C, node_ixs, nbrs, deg)
+    if plan is None:
+        return None
+    base, W, rowix, nbrs2 = plan
+
+    @partial(jax.jit, static_argnames=("W_", "interpret_"))
+    def run(C_, base_, rowix_, nbrs2_, W_, interpret_):
+        return _gather_core(C_, base_, rowix_, nbrs2_, W_, interpret_)
+
+    return run(
+        C, jnp.asarray(base), jnp.asarray(rowix), jnp.asarray(nbrs2),
+        W_=W, interpret_=interpret,
     )

@@ -140,8 +140,9 @@ def _run_level_dense1(C_dev, Gb: np.ndarray, rho_threshold: float):
 # live tensor is (node_tile, ct, d, d) f32. Measured on the v5e: 1 << 27
 # regressed the 11k block's level 3 ~3x (the (nt, ct, d, d) intermediates
 # stop fitting the fusion working set and round-trip through HBM); 1 << 26
-# keeps them resident
-LOCAL_ELEM_BUDGET = 1 << 26
+# keeps them resident. Env-overridable for probes (the launch-vs-fusion
+# tradeoff differs between the XLA-gather and Pallas-gather routes).
+LOCAL_ELEM_BUDGET = 1 << int(os.environ.get("CIGWAS_LOCAL_ELEM_BUDGET_LOG2", 26))
 # merge a smaller degree bucket into the next one when upgrading its nodes'
 # padded width costs fewer dense slots than this: on the v5e a dispatch
 # costs ~20-25 ms of launch+fetch floor, worth ~5e8 VPU sweep slots — the
@@ -191,13 +192,13 @@ def _pallas_gather_route(C_dev, d_pad: int):
             on_tpu = next(iter(C_dev.devices())).platform == "tpu"
         except Exception:
             on_tpu = False
-        return partial(pg.gather_local_panels, interpret=not on_tpu)
+        return partial(pg.gather_apply, interpret=not on_tpu)
     try:
         if next(iter(C_dev.devices())).platform != "tpu":
             return None
     except Exception:
         return None
-    return pg.gather_local_panels
+    return pg.gather_apply
 
 
 def _local_tile_plan(deg_all: np.ndarray, active: np.ndarray, l: int):
@@ -427,13 +428,16 @@ def _run_level_local1(
                 )
                 nbrs, deg = _compact_neighbors(Gb, tile_p, d_pad)
                 got = (
-                    gather(C_dev, tile_p, nbrs, deg)
+                    gather(
+                        C_dev, tile_p, nbrs, deg,
+                        consumer=lambda Cb, qb, dg:
+                            pcorr_ops.level1_local_sweep_pre(Cb, qb, dg),
+                        key=("l1",),
+                    )
                     if gather is not None else None
                 )
                 if got is not None:
-                    rho_dev, pos_dev = pcorr_ops.level1_local_sweep_pre(
-                        got[0], got[1], jnp.asarray(deg)
-                    )
+                    rho_dev, pos_dev = got
                 else:
                     rho_dev, pos_dev = pcorr_ops.level1_local_sweep(
                         C_dev, jnp.asarray(tile_p), jnp.asarray(nbrs),
@@ -531,15 +535,18 @@ def _run_level_local(
             )
             nbrs, deg = _compact_neighbors(Gb, tile_p, d_pad)
             got = (
-                gather(C_dev, tile_p, nbrs, deg)
+                # windowed DMA gather fused WITH the sweep into one
+                # dispatch (`*_local_sweep_pre` on bit-identical local
+                # panels — see ops/pallas/panel_gather.gather_apply)
+                gather(
+                    C_dev, tile_p, nbrs, deg,
+                    consumer=lambda Cb, qb, dg: sweep_pre(Cb, qb, dg, ct=ct),
+                    key=("local", l, ct),
+                )
                 if gather is not None else None
             )
             if got is not None:
-                # windowed DMA gather + one-hot select feeds the SAME
-                # jitted sweep math (`*_local_sweep_pre`) with
-                # bit-identical local panels — see ops/pallas/panel_gather
-                Cb, qb = got
-                rho_dev, pos_dev = sweep_pre(Cb, qb, jnp.asarray(deg), ct=ct)
+                rho_dev, pos_dev = got
             else:
                 rho_dev, pos_dev = sweep(
                     C_dev, jnp.asarray(tile_p), jnp.asarray(nbrs),
@@ -772,15 +779,19 @@ def _run_level(
                 )
                 if hetcor_args is None:
                     got = (
-                        gather(C_dev, tile_p, nbrs, deg)
+                        gather(
+                            C_dev, tile_p, nbrs, deg,
+                            consumer=lambda Cb, qb, dg, combos, left:
+                                pcorr_ops.level_scan_minrho_pre(
+                                    Cb, qb, dg, combos, left, l
+                                ),
+                            key=("scan", l, combos_seq.shape),
+                            extra=(combos_seq, jnp.asarray(left_seq)),
+                        )
                         if gather is not None else None
                     )
                     if got is not None:
-                        Cb, qb = got
-                        rho_dev, rank_dev = pcorr_ops.level_scan_minrho_pre_jit(
-                            Cb, qb, jnp.asarray(deg), combos_seq,
-                            jnp.asarray(left_seq), l,
-                        )
+                        rho_dev, rank_dev = got
                     else:
                         rho_dev, rank_dev = scan_minrho(
                             C_dev,
