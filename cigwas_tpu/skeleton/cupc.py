@@ -412,8 +412,14 @@ def _run_level_local1(
     Gb = G.astype(bool)
     deg_all = Gb.sum(axis=1)
     active = np.where(deg_all >= 2)[0]
-    rho_full = np.full((n, n), np.inf, dtype=np.float32)
-    sep_full = np.zeros((n, n), dtype=np.int32)
+    # SPARSE accumulation: dense (n, n) rho/sep scratch cost seconds of
+    # host memset/scan per level at the 11k block (measured level_detail:
+    # the device took 0.1-0.7 s while host alloc+scatter+epilogue took
+    # ~8 s); only the sub-threshold pairs ever leave a launch
+    xs_l: list = []
+    ys_l: list = []
+    s_l: list = []
+    rho_l: list = []
     if active.size:
         pending = []
         for d_pad, nodes, _ct, node_tile in _local_tile_plan(deg_all, active, 1):
@@ -453,16 +459,24 @@ def _run_level_local1(
             nt_real = len(tile)
             d_pad = nbrs.shape[1]
             valid = np.arange(d_pad)[None, :] < deg[:nt_real, None]
-            ri, ci = np.nonzero(valid)
-            x_idx = tile[ri]
-            y_idx = nbrs[ri, ci]
-            rho_full[x_idx, y_idx] = rho_c[ri, ci]
-            sep_full[x_idx, y_idx] = nbrs[ri, pos_c[ri, ci]]
+            hit = valid & (rho_c[:nt_real] < np.float32(rho_threshold))
+            ri, ci = np.nonzero(hit)
+            xs_l.append(tile[ri])
+            ys_l.append(nbrs[ri, ci])
+            s_l.append(nbrs[ri, pos_c[ri, ci]])
+            rho_l.append(rho_c[ri, ci])
         if verbose:
             print(f"[level 1] local-sweep launches: {len(pending)}")
-    side = (rho_full < rho_threshold) & Gb
-    xs, ys = np.nonzero(side)
-    return side | side.T, (xs, ys, sep_full[xs, ys], rho_full[xs, ys])
+    xs = np.concatenate(xs_l) if xs_l else np.empty(0, np.int64)
+    ys = np.concatenate(ys_l) if ys_l else np.empty(0, np.int64)
+    removed = np.zeros((n, n), dtype=bool)
+    removed[xs, ys] = True
+    removed |= removed.T
+    return removed, (
+        xs, ys,
+        np.concatenate(s_l) if s_l else np.empty(0, np.int32),
+        np.concatenate(rho_l) if rho_l else np.empty(0, np.float32),
+    )
 
 
 def _run_level_local(
@@ -483,20 +497,36 @@ def _run_level_local(
     :func:`level3_local_sweep`). Same test set and colex tie-breaking as the
     combinatorial path.
 
-    Returns (removed, rho_full (n, n), sep_full (n, n, l)) where sep_full
-    holds the minimizing conditioning VARIABLE indices (ascending) for every
-    ordered pair enumerated from x's side.
+    Returns (removed, (xs, ys, rho_sel, sep_sel)) where the update arrays
+    cover exactly the ordered pairs condemned from x's side: rho_sel the
+    minimizing |rho|, sep_sel (k, l) the minimizing conditioning VARIABLE
+    indices (ascending). Sparse on purpose: dense (n, n[, l]) scratch cost
+    seconds of host memset/scan per level at the 11k block while the
+    device did 0.1-0.7 s (measured level_detail r4).
     """
     assert l in (2, 3)
+    t_mark = time.perf_counter()
+
+    def mark(name):
+        nonlocal t_mark
+        if stats is not None:
+            now = time.perf_counter()
+            det = stats.setdefault("level_detail", {}).setdefault(l, {})
+            det[name] = det.get(name, 0.0) + (now - t_mark)
+            t_mark = now
+
     n = G.shape[0]
     Gb = G.astype(bool)
     deg_all = Gb.sum(axis=1)
     active = np.where(deg_all >= l + 1)[0]
     removed = np.zeros((n, n), dtype=bool)
-    rho_full = np.full((n, n), np.inf, dtype=np.float32)
-    sep_full = np.zeros((n, n, l), dtype=np.int32)
+    empty = (
+        np.empty(0, np.int64), np.empty(0, np.int64),
+        np.empty(0, np.float32), np.empty((0, l), np.int32),
+    )
+    mark("host_alloc")
     if active.size == 0:
-        return removed, rho_full, sep_full
+        return removed, empty
 
     sweep = {2: pcorr_ops.level2_local_sweep, 3: pcorr_ops.level3_local_sweep}[l]
     sweep_pre = {
@@ -553,27 +583,43 @@ def _run_level_local(
                     jnp.asarray(deg), ct,
                 )
             pending.append((tile, nbrs, deg, rho_dev, pos_dev))
+    mark("dispatch")
 
     for _, _, _, rho_dev, pos_dev in pending:
         rho_dev.copy_to_host_async()
         pos_dev.copy_to_host_async()
+    first = True
+    xs_l, ys_l, rho_l, sep_l = [], [], [], []
     for tile, nbrs, deg, rho_dev, pos_dev in pending:
         rho_c = np.asarray(rho_dev)
         pos_c = np.asarray(pos_dev)
+        if first:
+            # the first fetch absorbs ALL in-flight device compute
+            mark("device_wait")
+            first = False
         nt_real = len(tile)
         d_pad = nbrs.shape[1]
         valid = np.arange(d_pad)[None, :] < deg[:nt_real, None]
-        ri, ci = np.nonzero(valid)
-        x_idx = tile[ri]
-        y_idx = nbrs[ri, ci]
-        rho_full[x_idx, y_idx] = rho_c[ri, ci]
+        hit = valid & (rho_c[:nt_real] < np.float32(rho_threshold))
+        ri, ci = np.nonzero(hit)
+        xs_l.append(tile[ri])
+        ys_l.append(nbrs[ri, ci])
+        rho_l.append(rho_c[ri, ci])
         # positions -> variable indices via each node's neighbour list
-        sep_full[x_idx, y_idx] = nbrs[ri[:, None], pos_c[ri, ci]]
+        sep_l.append(nbrs[ri[:, None], pos_c[ri, ci]])
+    mark("fetch_scatter")
     if verbose:
         print(f"[level {l}] local-sweep launches: {len(pending)}")
-    cond = (rho_full < rho_threshold) & Gb
-    removed = cond | cond.T
-    return removed, rho_full, sep_full
+    xs = np.concatenate(xs_l) if xs_l else empty[0]
+    ys = np.concatenate(ys_l) if ys_l else empty[1]
+    removed[xs, ys] = True
+    removed |= removed.T
+    mark("epilogue")
+    return removed, (
+        xs, ys,
+        np.concatenate(rho_l) if rho_l else empty[2],
+        np.concatenate(sep_l) if sep_l else empty[3],
+    )
 
 
 def _run_level_local_hetcor(
@@ -1057,20 +1103,18 @@ def skeleton(
             if pmax is not None:
                 pmax[xs, ys] = fisher_z(rho_sel)
         elif l in LOCAL_LEVELS:
-            removed, rho_min, sep_vars = _run_level_local(
-                C_dev, G.astype(np.int32), l, rho_th, verbose=verbose,
+            removed, (xs, ys, rho_sel, sep_sel) = _run_level_local(
+                C_dev, G, l, rho_th, verbose=verbose,
                 engine=engine, stats=stats,
             )
-            side = (rho_min < rho_th) & G
-            xs, ys = np.nonzero(side)
             if len(xs):
                 if pmax is not None:
-                    pmax[xs, ys] = fisher_z(rho_min[xs, ys])
+                    pmax[xs, ys] = fisher_z(rho_sel)
                 sepset[xs, ys, l:] = -1
-                sepset[xs, ys, :l] = sep_vars[xs, ys]
+                sepset[xs, ys, :l] = sep_sel
         else:
             removed, rho_min, rank = _run_level(
-                C_dev, G.astype(np.int32), l, rho_th, chunk, verbose=verbose,
+                C_dev, G, l, rho_th, chunk, verbose=verbose,
                 engine=engine, stats=stats,
             )
             # record sepsets & pmax for ordered pairs whose own side passed

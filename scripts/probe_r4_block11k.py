@@ -49,9 +49,10 @@ def main():
         )
 
     outs = {}
-    for flag in ("0", "1"):
+    for flag, l1w in (("0", 128), ("1", 128), ("1", 256)):
         cupc.PALLAS_GATHER = flag
-        outs[flag] = run()  # warmup/compile + output capture
+        cupc.L1_LOCAL_MAX_WIDTH = l1w
+        outs[(flag, l1w)] = run()  # warmup/compile + output capture
         walls, infos = [], []
         for _ in range(2):
             stats = {}
@@ -62,12 +63,18 @@ def main():
                 "l0": round(stats.get("l0_wall_s", 0), 2),
                 "levels": {str(k): round(v_, 2)
                            for k, v_ in stats.get("level_wall_s", {}).items()},
+                "detail": {
+                    str(k): {kk: round(vv, 2) for kk, vv in d_.items()}
+                    for k, d_ in stats.get("level_detail", {}).items()
+                },
                 "ci_tests": stats.get("ci_tests", 0),
             })
         print(json.dumps({"probe": "block11k", "pallas": flag,
+                          "l1_width": l1w,
                           "walls": walls, "min": min(walls),
                           "info": infos}), flush=True)
-    same = np.array_equal(outs["0"].G, outs["1"].G)
+    base = outs[("0", 128)].G
+    same = all(np.array_equal(base, o.G) for o in outs.values())
     print(json.dumps({"probe": "block11k", "byte_identical": bool(same)}),
           flush=True)
     return 0
