@@ -499,6 +499,30 @@ def _panel_mm_tile_update(C, rows_bytes, cols_bytes, t0, n_chunks: int):
     return jax.lax.dynamic_update_slice(C, tile, (t0, 0))
 
 
+@partial(jax.jit, donate_argnums=(0,),
+         static_argnames=("n_chunks", "row_tile", "nfull"))
+def _panel_mm_tiles_fused(C, cols_bytes, n_chunks: int, row_tile: int,
+                          nfull: int):
+    """ALL full Kendall row stripes in ONE dispatch (fori over tiles).
+
+    The per-stripe dispatch loop paid ~0.3 s of relay issue latency per
+    tile (~22 tiles at the 11k block = most of the measured ~6.7 s
+    `corr_dispatch`); the loop body is identical to
+    `_panel_mm_tile_update`, so tile values are byte-identical.
+    """
+    B = cols_bytes.shape[1]
+    mc = cols_bytes.shape[0]
+
+    def body(i, C):
+        t0 = i * row_tile
+        rows = jax.lax.dynamic_slice(cols_bytes, (t0, 0), (row_tile, B))
+        counts = _kendall_counts_block(rows, cols_bytes, n_chunks)
+        tile = _kendall_from_counts(counts, row_tile, mc)
+        return jax.lax.dynamic_update_slice(C, tile, (t0, 0))
+
+    return jax.lax.fori_loop(0, nfull, body, C)
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def _panel_assemble(C, mp_corr, pp_corr, idx, v_valid):
     """Write the marker-phen / phen-phen blocks, set the unit diagonal, and
@@ -558,8 +582,12 @@ def corr_panel_device_tiled(
     cols = jnp.asarray(padded)
 
     C = jnp.zeros((vp, vp), jnp.float32)
-    t0 = 0
+    nfull = m_pad // row_tile
+    if nfull:
+        C = _panel_mm_tiles_fused(C, cols, n_chunks, row_tile, nfull)
+    t0 = nfull * row_tile
     while t0 < m_pad:
+        # ragged tail stripe (m_pad is vp - p, not a row_tile multiple)
         rt = min(row_tile, m_pad - t0)
         C = _panel_mm_tile_update(
             C, jax.lax.slice(cols, (t0, 0), (t0 + rt, cols.shape[1])), cols,

@@ -470,8 +470,10 @@ def _run_level_local1(
     xs = np.concatenate(xs_l) if xs_l else np.empty(0, np.int64)
     ys = np.concatenate(ys_l) if ys_l else np.empty(0, np.int64)
     removed = np.zeros((n, n), dtype=bool)
+    # symmetric removal via two O(k) scatters (a transpose-OR walks the
+    # whole (n, n) matrix with strided reads — ~1 s at the 11k block)
     removed[xs, ys] = True
-    removed |= removed.T
+    removed[ys, xs] = True
     return removed, (
         xs, ys,
         np.concatenate(s_l) if s_l else np.empty(0, np.int32),
@@ -612,8 +614,9 @@ def _run_level_local(
         print(f"[level {l}] local-sweep launches: {len(pending)}")
     xs = np.concatenate(xs_l) if xs_l else empty[0]
     ys = np.concatenate(ys_l) if ys_l else empty[1]
+    # symmetric removal via two O(k) scatters (see _run_level_local1)
     removed[xs, ys] = True
-    removed |= removed.T
+    removed[ys, xs] = True
     mark("epilogue")
     return removed, (
         xs, ys,

@@ -49,7 +49,7 @@ def main():
         )
 
     outs = {}
-    for flag, l1w in (("0", 128), ("1", 128), ("1", 256)):
+    for flag, l1w in (("0", 128), ("1", 128)):
         cupc.PALLAS_GATHER = flag
         cupc.L1_LOCAL_MAX_WIDTH = l1w
         outs[(flag, l1w)] = run()  # warmup/compile + output capture
