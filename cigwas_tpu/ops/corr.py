@@ -50,6 +50,24 @@ def _pad_rows(arr: np.ndarray, multiple: int, fill) -> np.ndarray:
     )
 
 
+def _device_put_chunked(arr: np.ndarray, max_bytes: int = 8 * 2**20):
+    """Upload a host array in row chunks and concatenate on device.
+
+    One large `device_put` (> ~40 MB) can stall the remote relay for tens
+    of seconds (CLAUDE.md); bounded chunks stream through cleanly. Values
+    are bit-identical either way.
+    """
+    nbytes = arr.nbytes
+    if nbytes <= max_bytes or arr.ndim < 2:
+        return jnp.asarray(arr)
+    rows_per = max(1, int(len(arr) * max_bytes / nbytes))
+    parts = [
+        jax.device_put(arr[i : i + rows_per])
+        for i in range(0, len(arr), rows_per)
+    ]
+    return jnp.concatenate(parts, axis=0)
+
+
 def _prep_bytes(bed_bytes: np.ndarray, num_samples: int, sample_chunk: int):
     """Pad the byte matrix so every sample chunk is full; returns (bytes, n_chunks).
 
@@ -545,6 +563,7 @@ def corr_panel_device_tiled(
     mp_corr: np.ndarray | None = None,
     sample_chunk: int = DEFAULT_SAMPLE_CHUNK,
     row_tile: int = PANEL_ROW_TILE,
+    stats: dict | None = None,
 ):
     """Large-block correlation panel, built and LEFT on device; returns (C, v).
 
@@ -572,14 +591,27 @@ def corr_panel_device_tiled(
     v = m + p
     vp = -(-v // row_tile) * row_tile
     m_pad = vp - p
+    import time as _time
+
+    def _mark(name, t0):
+        if stats is not None:
+            stats[name] = stats.get(name, 0.0) + (_time.perf_counter() - t0)
+        return _time.perf_counter()
+
+    t_m = _time.perf_counter()
     if mp_corr is None:
         mp_corr = np.asarray(
             marker_phen_corr(bed_bytes, phen, marker_mean, marker_std, num_samples)
         )
+    t_m = _mark("panel_mp_s", t_m)
     bed_pad = _pad_rows(bed_bytes, m_pad, PAD_BYTE)
     sample_chunk = min(sample_chunk, 4 * ((bed_pad.shape[1] + 31) // 32) * 32 * 4)
     padded, n_chunks = _prep_bytes(bed_pad, num_samples, sample_chunk)
-    cols = jnp.asarray(padded)
+    t_m = _mark("panel_prep_s", t_m)
+    # chunked upload: one >40 MB device_put can stall the relay for tens
+    # of seconds (CLAUDE.md); 8 MB pieces concatenated on device behave
+    cols = _device_put_chunked(padded)
+    t_m = _mark("panel_upload_s", t_m)
 
     C = jnp.zeros((vp, vp), jnp.float32)
     nfull = m_pad // row_tile
@@ -594,6 +626,7 @@ def corr_panel_device_tiled(
             jnp.int32(t0), n_chunks,
         )
         t0 += rt
+    t_m = _mark("panel_dispatch_s", t_m)
 
     mp_pad = np.zeros((m_pad, p), dtype=np.float32)
     # NaN marker-phen corrs stay NaN: the level-0 screen keeps such edges,

@@ -850,6 +850,19 @@ def hetcor1_dense_margin(C_dev, N_dev, t_dev, Gb, th: float):
 
 
 @jax.jit
+def _level1_side_packed(rho_min, Gm, rho_threshold):
+    """int8-packed removal side mask: the (v, v) bool costs a ~127 MB
+    fetch at the 11k block (measured: seconds to tens of seconds on the
+    relay); packed bits are 8x smaller."""
+    return jnp.packbits((rho_min < rho_threshold) & Gm, axis=1)
+
+
+@jax.jit
+def _unpack_bool_dev(packed, n: int):
+    return jnp.unpackbits(packed, axis=1)[:, :n].astype(bool)
+
+
+@jax.jit
 def _level1_side(rho_min, Gm, rho_threshold):
     return ((rho_min < rho_threshold) & Gm).astype(jnp.int8)
 
@@ -880,8 +893,8 @@ def level1_dense_dispatch(C_dev, G_dev, rho_threshold: float):
     """
     Gb_dev = G_dev.astype(bool)
     rho_dev, s_dev = level1_dense_minrho(C_dev, Gb_dev)
-    side_dev = _level1_side(rho_dev, Gb_dev, jnp.float32(rho_threshold))
-    return rho_dev, s_dev, side_dev
+    side_pk = _level1_side_packed(rho_dev, Gb_dev, jnp.float32(rho_threshold))
+    return rho_dev, s_dev, side_pk, Gb_dev.shape[0]
 
 
 def level1_dense_collect(handles):
@@ -895,9 +908,8 @@ def level1_dense_collect(handles):
     "x's sweep condemned (x, y)" and the parallel arrays give the minimizing
     conditioning variable and its |rho| for each such ordered pair.
     """
-    rho_dev, s_dev, side_dev = handles
-    n = side_dev.shape[0]
-    side = np.asarray(side_dev).astype(bool)
+    rho_dev, s_dev, side_pk, n = handles
+    side = np.unpackbits(np.asarray(side_pk), axis=1, count=n).astype(bool)
     xs, ys = np.nonzero(side)
     k = len(xs)
     if k == 0:
@@ -910,9 +922,15 @@ def level1_dense_collect(handles):
 
 
 def level1_dense_screen(C_dev, Gb, rho_threshold: float):
-    """Full level-1 screen from a HOST adjacency (upload + dispatch + fetch)."""
+    """Full level-1 screen from a HOST adjacency (upload + dispatch + fetch).
+
+    The adjacency rides the link as packed bits (16 MB instead of 127 MB
+    at the 11k block) and is unpacked on device."""
+    Gb = np.asarray(Gb).astype(bool)
+    n = Gb.shape[0]
+    gp = jnp.asarray(np.packbits(Gb, axis=1))
     return level1_dense_collect(
-        level1_dense_dispatch(C_dev, jnp.asarray(Gb.astype(np.int8)) > 0, rho_threshold)
+        level1_dense_dispatch(C_dev, _unpack_bool_dev(gp, n), rho_threshold)
     )
 
 

@@ -481,6 +481,23 @@ def _run_level_local1(
     )
 
 
+def _pack_rho_pos(rho, pos):
+    """(rho (nt, d) f32, pos (nt, d[, l]) int32) -> one (nt, d, 1+l) f32
+    array (positions bitcast); ONE host fetch instead of two."""
+    if pos.ndim == 2:
+        pos = pos[:, :, None]
+    pos_f = jax.lax.bitcast_convert_type(pos.astype(jnp.int32), jnp.float32)
+    return jnp.concatenate([rho[:, :, None], pos_f], axis=2)
+
+
+def _unpack_rho_pos(packed: np.ndarray):
+    rho = packed[:, :, 0]
+    pos = np.ascontiguousarray(packed[:, :, 1:]).view(np.int32)
+    if pos.shape[-1] == 1:
+        pos = pos[:, :, 0]
+    return rho, pos
+
+
 def _run_level_local(
     C_dev,
     G: np.ndarray,
@@ -569,32 +586,41 @@ def _run_level_local(
             got = (
                 # windowed DMA gather fused WITH the sweep into one
                 # dispatch (`*_local_sweep_pre` on bit-identical local
-                # panels — see ops/pallas/panel_gather.gather_apply)
+                # panels — see ops/pallas/panel_gather.gather_apply);
+                # rho and the int32 positions ride ONE fetch (positions
+                # bitcast to f32 lanes — each per-launch fetch pays a
+                # relay round trip)
                 gather(
                     C_dev, tile_p, nbrs, deg,
-                    consumer=lambda Cb, qb, dg: sweep_pre(Cb, qb, dg, ct=ct),
+                    consumer=lambda Cb, qb, dg: _pack_rho_pos(
+                        *sweep_pre(Cb, qb, dg, ct=ct)
+                    ),
                     key=("local", l, ct),
                 )
                 if gather is not None else None
             )
             if got is not None:
-                rho_dev, pos_dev = got
+                pending.append((tile, nbrs, deg, got, None))
             else:
                 rho_dev, pos_dev = sweep(
                     C_dev, jnp.asarray(tile_p), jnp.asarray(nbrs),
                     jnp.asarray(deg), ct,
                 )
-            pending.append((tile, nbrs, deg, rho_dev, pos_dev))
+                pending.append((tile, nbrs, deg, rho_dev, pos_dev))
     mark("dispatch")
 
     for _, _, _, rho_dev, pos_dev in pending:
         rho_dev.copy_to_host_async()
-        pos_dev.copy_to_host_async()
+        if pos_dev is not None:
+            pos_dev.copy_to_host_async()
     first = True
     xs_l, ys_l, rho_l, sep_l = [], [], [], []
     for tile, nbrs, deg, rho_dev, pos_dev in pending:
-        rho_c = np.asarray(rho_dev)
-        pos_c = np.asarray(pos_dev)
+        if pos_dev is None:
+            rho_c, pos_c = _unpack_rho_pos(np.asarray(rho_dev))
+        else:
+            rho_c = np.asarray(rho_dev)
+            pos_c = np.asarray(pos_dev)
         if first:
             # the first fetch absorbs ALL in-flight device compute
             mark("device_wait")

@@ -43,7 +43,7 @@ def main():
     th = threshold_array(n, 1e-4)
 
     def run(stats=None):
-        C_dev, v = corr_panel_device_tiled(bb, Y, means, stds, n)
+        C_dev, v = corr_panel_device_tiled(bb, Y, means, stds, n, stats=stats)
         return skeleton(
             C_dev, th, 3, C_dev=C_dev, n_var=v, want_pmax=False, stats=stats
         )
@@ -60,6 +60,8 @@ def main():
             run(stats=stats)
             walls.append(round(time.perf_counter() - t0, 2))
             infos.append({
+                "panel": {k: round(stats[k], 2) for k in list(stats)
+                          if k.startswith("panel_")},
                 "l0": round(stats.get("l0_wall_s", 0), 2),
                 "levels": {str(k): round(v_, 2)
                            for k, v_ in stats.get("level_wall_s", {}).items()},
