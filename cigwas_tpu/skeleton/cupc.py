@@ -490,6 +490,17 @@ def _pack_rho_pos(rho, pos):
     return jnp.concatenate([rho[:, :, None], pos_f], axis=2)
 
 
+def _pack_hits_pos(rho, pos, rho_th):
+    """want_pmax=False fetch: (hit bits (nt, ceil(d/8)) u8, positions
+    (nt, d[, l]) u8). rho never leaves the device (nothing consumes it
+    without pmax) and positions are neighbour-list SLOTS < d <= 256, so
+    the fetch shrinks ~5x (the relay moves ~35 MB/s when degraded)."""
+    if pos.ndim == 2:
+        pos = pos[:, :, None]
+    hit = jnp.packbits(rho < rho_th, axis=1)
+    return hit, pos.astype(jnp.uint8)
+
+
 def _unpack_rho_pos(packed: np.ndarray):
     rho = packed[:, :, 0]
     pos = np.ascontiguousarray(packed[:, :, 1:]).view(np.int32)
@@ -506,6 +517,7 @@ def _run_level_local(
     verbose: bool = False,
     engine=None,
     stats: dict | None = None,
+    want_rho: bool = True,
 ):
     """Levels 2/3 via the dense local-panel recursion.
 
@@ -592,10 +604,15 @@ def _run_level_local(
                 # relay round trip)
                 gather(
                     C_dev, tile_p, nbrs, deg,
-                    consumer=lambda Cb, qb, dg: _pack_rho_pos(
-                        *sweep_pre(Cb, qb, dg, ct=ct)
+                    consumer=(
+                        (lambda Cb, qb, dg: _pack_rho_pos(
+                            *sweep_pre(Cb, qb, dg, ct=ct)))
+                        if want_rho else
+                        (lambda Cb, qb, dg: _pack_hits_pos(
+                            *sweep_pre(Cb, qb, dg, ct=ct),
+                            jnp.float32(rho_threshold)))
                     ),
-                    key=("local", l, ct),
+                    key=("local", l, ct, want_rho),
                 )
                 if gather is not None else None
             )
@@ -610,13 +627,26 @@ def _run_level_local(
     mark("dispatch")
 
     for _, _, _, rho_dev, pos_dev in pending:
-        rho_dev.copy_to_host_async()
+        if isinstance(rho_dev, tuple):
+            for h in rho_dev:
+                h.copy_to_host_async()
+        else:
+            rho_dev.copy_to_host_async()
         if pos_dev is not None:
             pos_dev.copy_to_host_async()
     first = True
     xs_l, ys_l, rho_l, sep_l = [], [], [], []
     for tile, nbrs, deg, rho_dev, pos_dev in pending:
-        if pos_dev is None:
+        nt_real = len(tile)
+        d_pad = nbrs.shape[1]
+        if isinstance(rho_dev, tuple):  # lean want_pmax=False fetch
+            hit_bits, pos_u8 = rho_dev
+            hit = np.unpackbits(
+                np.asarray(hit_bits), axis=1, count=d_pad
+            ).astype(bool)[:nt_real]
+            pos_c = np.asarray(pos_u8).astype(np.int32)
+            rho_c = None
+        elif pos_dev is None:
             rho_c, pos_c = _unpack_rho_pos(np.asarray(rho_dev))
         else:
             rho_c = np.asarray(rho_dev)
@@ -625,14 +655,16 @@ def _run_level_local(
             # the first fetch absorbs ALL in-flight device compute
             mark("device_wait")
             first = False
-        nt_real = len(tile)
-        d_pad = nbrs.shape[1]
         valid = np.arange(d_pad)[None, :] < deg[:nt_real, None]
-        hit = valid & (rho_c[:nt_real] < np.float32(rho_threshold))
+        if rho_c is None:
+            hit = valid & hit
+        else:
+            hit = valid & (rho_c[:nt_real] < np.float32(rho_threshold))
         ri, ci = np.nonzero(hit)
         xs_l.append(tile[ri])
         ys_l.append(nbrs[ri, ci])
-        rho_l.append(rho_c[ri, ci])
+        if rho_c is not None:
+            rho_l.append(rho_c[ri, ci])
         # positions -> variable indices via each node's neighbour list
         sep_l.append(nbrs[ri[:, None], pos_c[ri, ci]])
     mark("fetch_scatter")
@@ -646,7 +678,7 @@ def _run_level_local(
     mark("epilogue")
     return removed, (
         xs, ys,
-        np.concatenate(rho_l) if rho_l else empty[2],
+        (np.concatenate(rho_l) if rho_l else empty[2]) if want_rho else None,
         np.concatenate(sep_l) if sep_l else empty[3],
     )
 
@@ -1008,6 +1040,7 @@ def skeleton(
             else:
                 C = np.pad(np.asarray(C, dtype=np.float32), ((0, pad), (0, pad)))
     th = np.asarray(thresholds, dtype=np.float32)
+    _t_enter = time.perf_counter()
     pre_l1 = None
     G0_dev = None
     if C_dev is not None and engine is None:
@@ -1052,7 +1085,14 @@ def skeleton(
         C = np.asarray(C, dtype=np.float32)
         G = None
     n = C.shape[0]
-    sepset = np.full((n, n, ML), -1, dtype=np.int32)
+    # depth = the run's own max level, not ML: a stage-1 run to level 3
+    # only ever writes 3 slots, and the (n, n, 14) int32 array is 7.1 GB
+    # at the 11k block (several seconds of memset + real memory pressure;
+    # the reference pays the full n^2*ML*4 on the GPU, `cuPC-S.cu:85-91`).
+    # Every consumer reshapes with stride -1 (`reduce_gcs`) or slices
+    # per-pair, so the narrower stride is transparent.
+    sep_depth = max(1, min(ML, max_level))
+    sepset = np.full((n, n, sep_depth), -1, dtype=np.int32)
     pmax = np.zeros((n, n), dtype=np.float32) if want_pmax else None
 
     # level 0: marginal screen, overwrites G
@@ -1093,6 +1133,10 @@ def skeleton(
             verbose, stats,
         )
         start_l = (lmax_all + 1) if stopped else (final_level + 1)
+    if stats is not None:
+        # everything before the level loop that the l0 mark does not
+        # cover (sepset alloc, pre-dispatches, fetches)
+        stats["preamble_s"] = time.perf_counter() - _t_enter
     for l in range(start_l, min(ML, max_level) + 1):
         deg = G.sum(axis=1)
         nprime = int(deg.max()) if n else 0
@@ -1134,7 +1178,7 @@ def skeleton(
         elif l in LOCAL_LEVELS:
             removed, (xs, ys, rho_sel, sep_sel) = _run_level_local(
                 C_dev, G, l, rho_th, verbose=verbose,
-                engine=engine, stats=stats,
+                engine=engine, stats=stats, want_rho=pmax is not None,
             )
             if len(xs):
                 if pmax is not None:
@@ -1179,6 +1223,8 @@ def skeleton(
         sepset = sepset[:v_real, :v_real]
         if pmax is not None:
             pmax = pmax[:v_real, :v_real]
+    if stats is not None:
+        stats["skeleton_wall_s"] = time.perf_counter() - _t_enter
     return SkeletonResult(
         G=G.astype(np.int32), sepset=sepset, pmax=pmax, final_level=final_level
     )

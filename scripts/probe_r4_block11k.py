@@ -52,7 +52,9 @@ def main():
     for flag, l1w in (("0", 128), ("1", 128)):
         cupc.PALLAS_GATHER = flag
         cupc.L1_LOCAL_MAX_WIDTH = l1w
-        outs[(flag, l1w)] = run()  # warmup/compile + output capture
+        res_warm = run()  # warmup/compile + output capture
+        outs[(flag, l1w)] = res_warm.G  # adjacency only (full results hoard GBs)
+        del res_warm
         walls, infos = [], []
         for _ in range(2):
             stats = {}
@@ -63,6 +65,8 @@ def main():
                 "panel": {k: round(stats[k], 2) for k in list(stats)
                           if k.startswith("panel_")},
                 "l0": round(stats.get("l0_wall_s", 0), 2),
+                "preamble": round(stats.get("preamble_s", 0), 2),
+                "skel_wall": round(stats.get("skeleton_wall_s", 0), 2),
                 "levels": {str(k): round(v_, 2)
                            for k, v_ in stats.get("level_wall_s", {}).items()},
                 "detail": {
@@ -75,8 +79,8 @@ def main():
                           "l1_width": l1w,
                           "walls": walls, "min": min(walls),
                           "info": infos}), flush=True)
-    base = outs[("0", 128)].G
-    same = all(np.array_equal(base, o.G) for o in outs.values())
+    base = outs[("0", 128)]
+    same = all(np.array_equal(base, o) for o in outs.values())
     print(json.dumps({"probe": "block11k", "byte_identical": bool(same)}),
           flush=True)
     return 0
