@@ -293,7 +293,7 @@ def _phase_block11k(result):
     def run(stats=None, stats2=None):
         marks = {}
         t = time.perf_counter()
-        C_dev, v = corr_panel_device_tiled(bb, Y, means, stds, n)
+        C_dev, v = corr_panel_device_tiled(bb, Y, means, stds, n, stats=stats)
         marks["corr_dispatch"] = time.perf_counter() - t
         t = time.perf_counter()
         res1 = skeleton(
@@ -325,18 +325,29 @@ def _phase_block11k(result):
     lvl = stats.get("level_wall_s", {})
     result["block11k_level_wall_s"] = {k: round(v, 2) for k, v in lvl.items()}
     # stage-1 attribution: l0 (absorbs the async corr-panel compute, which
-    # the dispatch mark alone cannot see), per-level walls, the packed
-    # adjacency fetch, and whatever remains (host compaction + routing)
+    # the dispatch mark alone cannot see), the dense-l1 pre-dispatch, the
+    # sepset alloc, per-level walls, and whatever remains (host compaction
+    # + routing). Panel host phases are attributed separately.
     attributed = (
         stats.get("l0_wall_s", 0.0)
+        + stats.get("pre_l1_dispatch_s", 0.0)
+        + stats.get("sepset_alloc_s", 0.0)
         + sum(lvl.values())
         + stats.get("final_fetch_s", 0.0)
     )
     result["block11k_stage1_attrib_s"] = {
         "l0_screen": round(stats.get("l0_wall_s", 0.0), 2),
+        "pre_l1_dispatch": round(stats.get("pre_l1_dispatch_s", 0.0), 2),
+        "sepset_alloc": round(stats.get("sepset_alloc_s", 0.0), 2),
         "levels": round(sum(lvl.values()), 2),
         "final_fetch": round(stats.get("final_fetch_s", 0.0), 2),
-        "residual": round(marks["stage1"] - attributed, 2),
+        "residual": round(
+            stats.get("skeleton_wall_s", marks["stage1"]) - attributed, 2
+        ),
+    }
+    result["block11k_panel_attrib_s"] = {
+        k.replace("panel_", "").rstrip("_s"): round(v, 2)
+        for k, v in stats.items() if k.startswith("panel_")
     }
     # stage-2 walls per level (ML=14 path: the combinatorial chunk scan's
     # device behavior at real degrees, VERDICT r3 item 7)

@@ -48,4 +48,27 @@ def _enable_compilation_cache() -> None:
         pass
 
 
+def _tune_malloc() -> None:
+    """Keep GB-scale host buffers in the malloc arena (Linux glibc).
+
+    glibc serves large allocations with mmap and returns them to the OS on
+    free, so every per-block scratch array (the (n, n, l) sepsets, removal
+    masks, ...) re-faults fresh pages — measured 8.2 s for a 1.5 GB
+    `np.full` at the 11k block on this VM vs 0.3 s from recycled pages.
+    Raising M_MMAP_THRESHOLD / M_TRIM_THRESHOLD makes the first block pay
+    the fault cost once and every later block reuse the pages.
+    """
+    if _os.environ.get("CIGWAS_TPU_NO_MALLOC_TUNE"):
+        return
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+    except Exception:
+        pass
+
+
 _enable_compilation_cache()
+_tune_malloc()

@@ -336,6 +336,14 @@ def marker_phen_corr_from_sums(
     return (s_mp - mean * s_p) / (n_val * std)
 
 
+@jax.jit
+def _mp_corr_dev(s_mp, s_p, n_val, mean, std):
+    """Device epilogue of the marker-phen correlation (same expression as
+    `_panel_device` / `marker_phen_corr_from_sums`, so all three agree
+    bitwise — the tiled-vs-fused panel parity tests depend on it)."""
+    return (s_mp - mean[:, None] * s_p) / (n_val * std[:, None])
+
+
 def marker_phen_corr(
     bed_bytes,
     phen: np.ndarray,
@@ -599,9 +607,16 @@ def corr_panel_device_tiled(
         return _time.perf_counter()
 
     t_m = _time.perf_counter()
+    mp_dev = None
     if mp_corr is None:
-        mp_corr = np.asarray(
-            marker_phen_corr(bed_bytes, phen, marker_mean, marker_std, num_samples)
+        # keep the marker-phen block ON DEVICE: fetching it only to
+        # re-upload for the assemble cost 3-8 s of relay sync at the 11k
+        # block (production passes the pre-screen's host mp_corr instead)
+        handles = marker_phen_sums_dispatch(bed_bytes, phen, num_samples)
+        mp_dev = _mp_corr_dev(
+            handles[0], handles[1], handles[2],
+            jnp.asarray(np.asarray(marker_mean, np.float32)),
+            jnp.asarray(np.asarray(marker_std, np.float32)),
         )
     t_m = _mark("panel_mp_s", t_m)
     bed_pad = _pad_rows(bed_bytes, m_pad, PAD_BYTE)
@@ -628,16 +643,20 @@ def corr_panel_device_tiled(
         t0 += rt
     t_m = _mark("panel_dispatch_s", t_m)
 
-    mp_pad = np.zeros((m_pad, p), dtype=np.float32)
     # NaN marker-phen corrs stay NaN: the level-0 screen keeps such edges,
     # matching the fused `_panel_device` / host `pack_square_corr` paths
-    mp_pad[:m] = np.asarray(mp_corr, dtype=np.float32)
+    if mp_dev is not None:
+        mp_pad_dev = jnp.pad(mp_dev, ((0, m_pad - m), (0, 0)))
+    else:
+        mp_pad = np.zeros((m_pad, p), dtype=np.float32)
+        mp_pad[:m] = np.asarray(mp_corr, dtype=np.float32)
+        mp_pad_dev = jnp.asarray(mp_pad)
     pp = phen_phen_corr(phen).astype(np.float32)
     idx = np.concatenate(
         [np.arange(m), np.arange(m_pad, m_pad + p), np.arange(m, m_pad)]
     ).astype(np.int32)
     C = _panel_assemble(
-        C, jnp.asarray(mp_pad), jnp.asarray(pp), jnp.asarray(idx), jnp.int32(v)
+        C, mp_pad_dev, jnp.asarray(pp), jnp.asarray(idx), jnp.int32(v)
     )
     return C, v
 

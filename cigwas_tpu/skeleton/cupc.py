@@ -1059,6 +1059,7 @@ def skeleton(
         # neighbour-list sweep costs sum(deg^2) vs the dense sweep's v^3,
         # so it wins when degrees are small (see L1_LOCAL_MAX_WIDTH). The
         # dense sweep is only dispatched when it will actually be used
+        t_mark = time.perf_counter() if stats is not None else 0.0
         deg0_pad = max(8, -(-int(G.sum(axis=1).max() or 0) // 8) * 8)
         l1_local = deg0_pad <= L1_LOCAL_MAX_WIDTH
         if (
@@ -1069,6 +1070,8 @@ def skeleton(
             pre_l1 = pcorr_ops.level1_dense_dispatch(
                 C_dev, G0_dev, float(np.float32(np.tanh(float(th[1]))))
             )
+        if stats is not None:
+            stats["pre_l1_dispatch_s"] = time.perf_counter() - t_mark
         if want_pmax:
             t_mark = time.perf_counter() if stats is not None else 0.0
             C = np.asarray(C, dtype=np.float32)
@@ -1091,9 +1094,12 @@ def skeleton(
     # the reference pays the full n^2*ML*4 on the GPU, `cuPC-S.cu:85-91`).
     # Every consumer reshapes with stride -1 (`reduce_gcs`) or slices
     # per-pair, so the narrower stride is transparent.
+    t_mark = time.perf_counter() if stats is not None else 0.0
     sep_depth = max(1, min(ML, max_level))
     sepset = np.full((n, n, sep_depth), -1, dtype=np.int32)
     pmax = np.zeros((n, n), dtype=np.float32) if want_pmax else None
+    if stats is not None:
+        stats["sepset_alloc_s"] = time.perf_counter() - t_mark
 
     # level 0: marginal screen, overwrites G
     if G is None or want_pmax:

@@ -66,6 +66,8 @@ def main():
                           if k.startswith("panel_")},
                 "l0": round(stats.get("l0_wall_s", 0), 2),
                 "preamble": round(stats.get("preamble_s", 0), 2),
+                "pre_l1": round(stats.get("pre_l1_dispatch_s", 0), 2),
+                "sep_alloc": round(stats.get("sepset_alloc_s", 0), 2),
                 "skel_wall": round(stats.get("skeleton_wall_s", 0), 2),
                 "levels": {str(k): round(v_, 2)
                            for k, v_ in stats.get("level_wall_s", {}).items()},
