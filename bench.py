@@ -290,6 +290,8 @@ def _phase_block11k(result):
     means, stds = G.mean(axis=1), G.std(axis=1)
     th = threshold_array(n, 1e-4)
 
+    scratch: dict = {}
+
     def run(stats=None, stats2=None):
         marks = {}
         t = time.perf_counter()
@@ -297,7 +299,8 @@ def _phase_block11k(result):
         marks["corr_dispatch"] = time.perf_counter() - t
         t = time.perf_counter()
         res1 = skeleton(
-            C_dev, th, 3, C_dev=C_dev, n_var=v, want_pmax=False, stats=stats
+            C_dev, th, 3, C_dev=C_dev, n_var=v, want_pmax=False, stats=stats,
+            scratch=scratch,
         )
         marks["stage1"] = time.perf_counter() - t
         t = time.perf_counter()

@@ -166,6 +166,9 @@ class CuskContext:
         self.depth = depth
         self.outdir = outdir
         self.verbose = verbose
+        # per-context scratch reused across blocks (GB-scale sepset
+        # buffers; see skeleton(scratch=...))
+        self.scratch: dict = {}
         self.engine = None
         if mesh is not None:
             from cigwas_tpu.parallel.sharded import (
@@ -279,6 +282,7 @@ class CuskContext:
             res1 = skeleton(
                 C_dev, Th, max_level, verbose=verbose, C_dev=C_dev,
                 n_var=v_panel, engine=engine, want_pmax=False,
+                scratch=self.scratch,
             )
         elif num_markers <= 4096:
             # fused single-dispatch panel: decode once
@@ -287,7 +291,7 @@ class CuskContext:
             )
             res1 = skeleton(
                 C_dev, Th, max_level, verbose=verbose, C_dev=C_dev,
-                n_var=v_panel, want_pmax=False,
+                n_var=v_panel, want_pmax=False, scratch=self.scratch,
             )
         else:
             # stripe-built panel (`corr_host.cu:208-420` analogue)
@@ -297,7 +301,7 @@ class CuskContext:
             )
             res1 = skeleton(
                 C_dev, Th, max_level, verbose=verbose, C_dev=C_dev,
-                n_var=v_panel, want_pmax=False,
+                n_var=v_panel, want_pmax=False, scratch=self.scratch,
             )
         keep = subset_variables(res1.G, num_var, num_markers, depth)
         gcs = reduce_gcs(

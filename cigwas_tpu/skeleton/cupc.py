@@ -987,6 +987,7 @@ def skeleton(
     engine=None,
     stats: dict | None = None,
     want_pmax: bool = True,
+    scratch: dict | None = None,
 ) -> SkeletonResult:
     """PC-stable skeleton over a dense correlation panel.
 
@@ -1096,7 +1097,21 @@ def skeleton(
     # per-pair, so the narrower stride is transparent.
     t_mark = time.perf_counter() if stats is not None else 0.0
     sep_depth = max(1, min(ML, max_level))
-    sepset = np.full((n, n, sep_depth), -1, dtype=np.int32)
+    if scratch is not None:
+        # callers that run MANY blocks (CuskContext, bench) pass a scratch
+        # dict so the GB-scale sepset buffer is allocated once: a fresh
+        # allocation page-faults at ~180 MB/s on this VM (~8 s for 1.5 GB
+        # at the 11k block) and heap fragmentation defeats page recycling.
+        # The returned result ALIASES the buffer — the pipeline consumes
+        # res.sepset before the next block, which is the contract.
+        key = ("sepset", n, sep_depth)
+        sepset = scratch.get(key)
+        if sepset is None:
+            sepset = np.empty((n, n, sep_depth), dtype=np.int32)
+            scratch[key] = sepset
+        sepset.fill(-1)
+    else:
+        sepset = np.full((n, n, sep_depth), -1, dtype=np.int32)
     pmax = np.zeros((n, n), dtype=np.float32) if want_pmax else None
     if stats is not None:
         stats["sepset_alloc_s"] = time.perf_counter() - t_mark

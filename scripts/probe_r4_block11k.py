@@ -42,10 +42,13 @@ def main():
     means, stds = G.mean(axis=1), G.std(axis=1)
     th = threshold_array(n, 1e-4)
 
+    scratch: dict = {}
+
     def run(stats=None):
         C_dev, v = corr_panel_device_tiled(bb, Y, means, stds, n, stats=stats)
         return skeleton(
-            C_dev, th, 3, C_dev=C_dev, n_var=v, want_pmax=False, stats=stats
+            C_dev, th, 3, C_dev=C_dev, n_var=v, want_pmax=False, stats=stats,
+            scratch=scratch,
         )
 
     outs = {}
