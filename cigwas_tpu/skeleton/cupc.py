@@ -509,6 +509,19 @@ def _unpack_rho_pos(packed: np.ndarray):
     return rho, pos
 
 
+@partial(jax.jit, static_argnames=("l", "ct"))
+def _sweep_hits_xla(C, node_ixs, nbrs, deg, rho_th, l: int, ct: int):
+    """XLA-gather local sweep with the lean (hit bits + uint8 positions)
+    fetch — the same dispatch as the plain sweep, 5x fewer fetch bytes
+    (see _pack_hits_pos)."""
+    sweep = {
+        2: pcorr_ops.level2_local_sweep,
+        3: pcorr_ops.level3_local_sweep,
+    }[l]
+    rho, pos = sweep(C, node_ixs, nbrs, deg, ct)
+    return _pack_hits_pos(rho, pos, rho_th)
+
+
 def _run_level_local(
     C_dev,
     G: np.ndarray,
@@ -617,6 +630,17 @@ def _run_level_local(
                 if gather is not None else None
             )
             if got is not None:
+                pending.append((tile, nbrs, deg, got, None))
+                continue
+            if gather is not None and stats is not None:
+                # requested the windowed gather but the spans were too wide
+                det = stats.setdefault("level_detail", {}).setdefault(l, {})
+                det["gather_fallback"] = det.get("gather_fallback", 0) + 1
+            if not want_rho and engine is None and d_pad <= 256:
+                got = _sweep_hits_xla(
+                    C_dev, jnp.asarray(tile_p), jnp.asarray(nbrs),
+                    jnp.asarray(deg), jnp.float32(rho_threshold), l, ct,
+                )
                 pending.append((tile, nbrs, deg, got, None))
             else:
                 rho_dev, pos_dev = sweep(
