@@ -580,9 +580,35 @@ def _run_level_local(
     if engine is not None:
         sweep = {2: engine.level2_local_sweep, 3: engine.level3_local_sweep}[l]
 
+    # split nodes by neighbour SPAN before tiling: chance long-range
+    # correlations give ~1 far neighbour per node at genome scale, and one
+    # wide-span node used to sink its whole tile to the XLA fallback
+    # (measured: gather_fallback = all tiles at the 11k block). Per-node
+    # sweep results are independent of tile grouping, so the split is
+    # byte-transparent.
+    groups = [(active, True)]
+    if engine is None and _pallas_gather_route(C_dev, 128) is not None:
+        from cigwas_tpu.ops.pallas.panel_gather import MAX_W
+
+        rows = Gb[active]
+        lo = np.minimum(rows.argmax(axis=1), active)
+        hi = np.maximum(
+            n - 1 - rows[:, ::-1].argmax(axis=1), active
+        )
+        fits = (hi - (lo // 128) * 128) < MAX_W
+        if fits.any() and not fits.all():
+            groups = [(active[fits], True), (active[~fits], False)]
+        elif not fits.any():
+            groups = [(active, False)]
     pending = []
-    for d_pad, nodes, ct, node_tile in _local_tile_plan(deg_all, active, l):
-        gather = _pallas_gather_route(C_dev, d_pad) if engine is None else None
+    for nodes_grp, grp_gather in groups:
+      if nodes_grp.size == 0:
+        continue
+      for d_pad, nodes, ct, node_tile in _local_tile_plan(deg_all, nodes_grp, l):
+        gather = (
+            _pallas_gather_route(C_dev, d_pad)
+            if engine is None and grp_gather else None
+        )
         if engine is not None:
             # BYTE-IDENTITY INVARIANT: XLA's fused elementwise numerics for
             # the local sweeps depend on the batch (node-tile) shape, so the
