@@ -101,14 +101,23 @@ def run_partition_process(argv=None) -> int:
     jax.config.update("jax_platforms", "cpu")
     from cigwas_tpu.parallel.runner import run_all_blocks
 
-    t0 = time.perf_counter()
-    results = run_all_blocks(
-        phen, bfiles, blocks, float(alpha), int(max_level),
-        int(max_level_two), int(depth), outdir,
-        num_partitions=int(nparts), partition_index=int(pindex),
-        verbose=False,
-    )
-    wall = time.perf_counter() - t0
+    def one_pass():
+        t0 = time.perf_counter()
+        res = run_all_blocks(
+            phen, bfiles, blocks, float(alpha), int(max_level),
+            int(max_level_two), int(depth), outdir,
+            num_partitions=int(nparts), partition_index=int(pindex),
+            verbose=False,
+        )
+        return res, time.perf_counter() - t0
+
+    if os.environ.get("CIGWAS_WORKER_STEADY"):
+        # steady-state wall: a long-running production worker amortizes
+        # its per-process compile/trace warmup over the whole partition
+        # stream, so the scaling measure uses a SECOND pass with every
+        # kernel already compiled (outputs are byte-identical reruns)
+        one_pass()
+    results, wall = one_pass()
     print(json.dumps({
         "partition": int(pindex),
         "wall_s": wall,
