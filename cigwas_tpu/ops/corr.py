@@ -181,7 +181,7 @@ def kendall_npn_corr(
     """
     bed_bytes = np.asarray(bed_bytes, dtype=np.uint8)
     m = bed_bytes.shape[0]
-    sample_chunk = min(sample_chunk, 4 * ((bed_bytes.shape[1] + 31) // 32) * 32 * 4)
+    sample_chunk = min(sample_chunk, 4 * (((bed_bytes.shape[1] + 31) // 32) * 32))
     padded, n_chunks = _prep_bytes(bed_bytes, num_samples, sample_chunk)
     if row_tile is None:
         row_tile = m if m <= 4096 else DEFAULT_ROW_TILE
@@ -227,7 +227,7 @@ def kendall_npn_corr_banded(
     """
     bed_bytes = np.asarray(bed_bytes, dtype=np.uint8)
     m = bed_bytes.shape[0]
-    sample_chunk = min(sample_chunk, 4 * ((bed_bytes.shape[1] + 31) // 32) * 32 * 4)
+    sample_chunk = min(sample_chunk, 4 * (((bed_bytes.shape[1] + 31) // 32) * 32))
     padded, n_chunks = _prep_bytes(bed_bytes, num_samples, sample_chunk)
     band = np.zeros((m, corr_width), dtype=np.float32)
     row_tile = min(row_tile, m)
@@ -314,7 +314,7 @@ def marker_phen_sums_dispatch(
     """
     bed_bytes = np.asarray(bed_bytes, dtype=np.uint8)
     phen = np.asarray(phen, dtype=np.float32)
-    sample_chunk = min(sample_chunk, 4 * ((bed_bytes.shape[1] + 31) // 32) * 32 * 4)
+    sample_chunk = min(sample_chunk, 4 * (((bed_bytes.shape[1] + 31) // 32) * 32))
     padded, n_chunks = _prep_bytes(bed_bytes, num_samples, sample_chunk)
     n_padded = padded.shape[1] * 4
     phen0 = np.zeros((phen.shape[0], n_padded), dtype=np.float32)
@@ -487,7 +487,7 @@ def corr_panel_device(
             np.asarray(marker_mean, dtype=np.float32), m_pad, 1.0
         )
         marker_std = _pad_rows(np.asarray(marker_std, dtype=np.float32), m_pad, 1.0)
-    sample_chunk = min(sample_chunk, 4 * ((bed_bytes.shape[1] + 31) // 32) * 32 * 4)
+    sample_chunk = min(sample_chunk, 4 * (((bed_bytes.shape[1] + 31) // 32) * 32))
     padded, n_chunks = _prep_bytes(bed_bytes, num_samples, sample_chunk)
     n_padded = padded.shape[1] * 4
     phen0 = np.zeros((p, n_padded), dtype=np.float32)
@@ -620,7 +620,7 @@ def corr_panel_device_tiled(
         )
     t_m = _mark("panel_mp_s", t_m)
     bed_pad = _pad_rows(bed_bytes, m_pad, PAD_BYTE)
-    sample_chunk = min(sample_chunk, 4 * ((bed_pad.shape[1] + 31) // 32) * 32 * 4)
+    sample_chunk = min(sample_chunk, 4 * (((bed_pad.shape[1] + 31) // 32) * 32))
     padded, n_chunks = _prep_bytes(bed_pad, num_samples, sample_chunk)
     t_m = _mark("panel_prep_s", t_m)
     # chunked upload: one >40 MB device_put can stall the relay for tens
@@ -715,7 +715,7 @@ def marker_pearson_corr(
     """
     bed_bytes = np.asarray(bed_bytes, dtype=np.uint8)
     m = bed_bytes.shape[0]
-    sample_chunk = min(sample_chunk, 4 * ((bed_bytes.shape[1] + 31) // 32) * 32 * 4)
+    sample_chunk = min(sample_chunk, 4 * (((bed_bytes.shape[1] + 31) // 32) * 32))
     padded, n_chunks = _prep_bytes(bed_bytes, num_samples, sample_chunk)
     s_gg, n_joint = _marker_pearson_sums(jnp.asarray(padded), n_chunks)
     s_gg, n_joint = np.asarray(s_gg), np.asarray(n_joint)

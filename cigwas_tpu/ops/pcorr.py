@@ -857,7 +857,7 @@ def _level1_side_packed(rho_min, Gm, rho_threshold):
     return jnp.packbits((rho_min < rho_threshold) & Gm, axis=1)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("n",))
 def _unpack_bool_dev(packed, n: int):
     return jnp.unpackbits(packed, axis=1)[:, :n].astype(bool)
 

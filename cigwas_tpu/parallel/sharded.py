@@ -483,7 +483,7 @@ def make_panel_sharded(mesh: Mesh, axis: str):
                 np.asarray(marker_mean, dtype=np.float32), m_pad, 1.0
             )
             marker_std = _pad_rows(np.asarray(marker_std, dtype=np.float32), m_pad, 1.0)
-        sample_chunk = min(sample_chunk, 4 * ((bed_bytes.shape[1] + 31) // 32) * 32 * 4)
+        sample_chunk = min(sample_chunk, 4 * (((bed_bytes.shape[1] + 31) // 32) * 32))
         padded, n_chunks = _prep_bytes(bed_bytes, num_samples, sample_chunk)
         n_padded = padded.shape[1] * 4
         phen0 = np.zeros((p, n_padded), dtype=np.float32)
@@ -917,7 +917,7 @@ def make_panel_rowsharded(mesh: Mesh, axis: str):
         m_pad = vp - p
         bed_pad = _pad_rows(bed_bytes, m_pad, PAD_BYTE)
         sample_chunk = min(
-            sample_chunk, 4 * ((bed_pad.shape[1] + 31) // 32) * 32 * 4
+            sample_chunk, 4 * (((bed_pad.shape[1] + 31) // 32) * 32)
         )
         padded, n_chunks = _prep_bytes(bed_pad, num_samples, sample_chunk)
         n_padded = padded.shape[1] * 4
@@ -1122,7 +1122,7 @@ def make_banded_corr_sharded(mesh: Mesh, axis: str):
             )
         bed_pad = _pad_rows(bed_bytes, m_pad, PAD_BYTE)
         sample_chunk = min(
-            sample_chunk, 4 * ((bed_pad.shape[1] + 31) // 32) * 32 * 4
+            sample_chunk, 4 * (((bed_pad.shape[1] + 31) // 32) * 32)
         )
         padded, n_chunks = _prep_bytes(bed_pad, num_samples, sample_chunk)
         key = (padded.shape, n_chunks, corr_width, m)

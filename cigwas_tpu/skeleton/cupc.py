@@ -161,11 +161,40 @@ LOCAL_LEVELS = (2, 3)
 # panels go through the bucketed host loop. Probes/tests override via env
 # or module attribute.
 DEV_RESIDENT_MAX = int(os.environ.get("CIGWAS_DEV_RESIDENT_MAX", 1536))
-# largest padded level-1 max degree for which level 1 runs as the
-# neighbour-list local sweep (sum(deg^2) work) instead of the dense v^3
-# sweep; measured on the v5e the crossover is well below the v/16 FLOP
-# estimate because the ~2.4 GB/s panel gather dominates
+# largest padded level-1 max degree for which level 1 ALWAYS runs as the
+# neighbour-list local sweep (sum(deg^2) work); above it the bucketed
+# cost model below decides (see _l1_route_local)
 L1_LOCAL_MAX_WIDTH = int(os.environ.get("CIGWAS_L1_LOCAL_MAX_WIDTH", 128))
+# slot-cost multiplier of the local route vs the dense sweep: a local
+# sweep slot rides a panel gather (~2.4 GB/s XLA / ~4x that via the
+# Pallas window DMA) while a dense slot is a fused VPU op (~1.5e11/s
+# measured r4), so local slots are charged this factor before comparing
+# against vp^3. Conservative on purpose — mis-routing to dense costs a
+# bounded v^3, mis-routing to local could pay per-node gathers for hubs.
+L1_LOCAL_COST_RATIO = int(os.environ.get("CIGWAS_L1_LOCAL_COST_RATIO", 16))
+
+
+def _l1_route_local(deg: np.ndarray, vp: int) -> bool:
+    """True when level 1 should run as the degree-bucketed local sweep.
+
+    The r4 gate was all-or-nothing on the padded MAX degree: one hub node
+    above L1_LOCAL_MAX_WIDTH forced the whole panel through the dense v^3
+    sweep (8.78 s of the 11k block's wall, VERDICT r4 #1). `_local_tile_plan`
+    already isolates hubs into their own narrow buckets, so the decision now
+    weighs the bucketed sum(d_pad^2) slot volume (charged the gather-feed
+    factor L1_LOCAL_COST_RATIO) against the dense sweep's vp^3 — a lone
+    4000-degree hub among ~100-degree nodes costs 1.6e7 extra local slots,
+    not a 1.3e12-slot dense sweep.
+    """
+    dmax = int(deg.max()) if deg.size else 0
+    if max(8, -(-dmax // 8) * 8) <= L1_LOCAL_MAX_WIDTH:
+        return True
+    active = deg >= 2
+    if not active.any():
+        return True
+    d_pad = np.maximum(8, ((deg[active].astype(np.int64) + 7) // 8) * 8)
+    local_slots = int((d_pad * d_pad).sum())
+    return local_slots * L1_LOCAL_COST_RATIO < vp**3
 # Pallas DMA local-panel gather (ops/pallas/panel_gather.py) for the
 # level >= 2 kernels: "auto" routes through it on TPU when the shapes
 # qualify, "1" forces it (interpreted off-TPU), "0" disables
@@ -421,9 +450,31 @@ def _run_level_local1(
     s_l: list = []
     rho_l: list = []
     if active.size:
+        # split by neighbour SPAN before tiling, exactly like
+        # `_run_level_local`: one wide-span node (chance long-range
+        # correlation) would otherwise sink its whole tile to the XLA
+        # gather fallback. Per-node results are tile-independent, so the
+        # split is byte-transparent.
+        groups = [(active, True)]
+        if _pallas_gather_route(C_dev, 128) is not None:
+            from cigwas_tpu.ops.pallas.panel_gather import MAX_W
+
+            rows = Gb[active]
+            lo = np.minimum(rows.argmax(axis=1), active)
+            hi = np.maximum(n - 1 - rows[:, ::-1].argmax(axis=1), active)
+            fits = (hi - (lo // 128) * 128) < MAX_W
+            if fits.any() and not fits.all():
+                groups = [(active[fits], True), (active[~fits], False)]
+            elif not fits.any():
+                groups = [(active, False)]
         pending = []
-        for d_pad, nodes, _ct, node_tile in _local_tile_plan(deg_all, active, 1):
-            gather = _pallas_gather_route(C_dev, d_pad)
+        for nodes_grp, grp_gather in groups:
+          if nodes_grp.size == 0:
+            continue
+          for d_pad, nodes, _ct, node_tile in _local_tile_plan(
+              deg_all, nodes_grp, 1
+          ):
+            gather = _pallas_gather_route(C_dev, d_pad) if grp_gather else None
             for s0 in range(0, len(nodes), node_tile):
                 tile = nodes[s0 : s0 + node_tile]
                 pad = node_tile - len(tile)
@@ -634,24 +685,30 @@ def _run_level_local(
                 else tile
             )
             nbrs, deg = _compact_neighbors(Gb, tile_p, d_pad)
+            # windowed DMA gather fused WITH the sweep into one dispatch
+            # (`*_local_sweep_pre` on bit-identical local panels — see
+            # ops/pallas/panel_gather.gather_apply); rho and the int32
+            # positions ride ONE fetch (positions bitcast to f32 lanes —
+            # each per-launch fetch pays a relay round trip). The lean
+            # hit-bits consumer packs neighbour-list SLOTS into uint8, so
+            # it is only valid for d_pad <= 256 (same guard as the XLA
+            # route below); wider buckets take the full rho fetch. The
+            # threshold is passed via `extra` so it is traced, not baked
+            # into the cached closure (a second run with a different
+            # alpha must not reuse the first run's threshold).
+            lean = (not want_rho) and d_pad <= 256
             got = (
-                # windowed DMA gather fused WITH the sweep into one
-                # dispatch (`*_local_sweep_pre` on bit-identical local
-                # panels — see ops/pallas/panel_gather.gather_apply);
-                # rho and the int32 positions ride ONE fetch (positions
-                # bitcast to f32 lanes — each per-launch fetch pays a
-                # relay round trip)
                 gather(
                     C_dev, tile_p, nbrs, deg,
                     consumer=(
+                        (lambda Cb, qb, dg, th_: _pack_hits_pos(
+                            *sweep_pre(Cb, qb, dg, ct=ct), th_))
+                        if lean else
                         (lambda Cb, qb, dg: _pack_rho_pos(
                             *sweep_pre(Cb, qb, dg, ct=ct)))
-                        if want_rho else
-                        (lambda Cb, qb, dg: _pack_hits_pos(
-                            *sweep_pre(Cb, qb, dg, ct=ct),
-                            jnp.float32(rho_threshold)))
                     ),
-                    key=("local", l, ct, want_rho),
+                    key=("local", l, ct, lean),
+                    extra=(jnp.float32(rho_threshold),) if lean else (),
                 )
                 if gather is not None else None
             )
@@ -1106,13 +1163,12 @@ def skeleton(
             # includes waiting out any in-flight async corr-panel compute
             # the caller dispatched: the first sync pays for it here
             stats["l0_wall_s"] = time.perf_counter() - t_mark
-        # level-1 routing needs the post-level-0 max degree: the local
-        # neighbour-list sweep costs sum(deg^2) vs the dense sweep's v^3,
-        # so it wins when degrees are small (see L1_LOCAL_MAX_WIDTH). The
-        # dense sweep is only dispatched when it will actually be used
+        # level-1 routing needs the post-level-0 degrees: the bucketed
+        # local sweep costs ~sum(deg_pad^2) vs the dense sweep's v^3 (see
+        # _l1_route_local). The dense sweep is only dispatched when it
+        # will actually be used
         t_mark = time.perf_counter() if stats is not None else 0.0
-        deg0_pad = max(8, -(-int(G.sum(axis=1).max() or 0) // 8) * 8)
-        l1_local = deg0_pad <= L1_LOCAL_MAX_WIDTH
+        l1_local = _l1_route_local(G.sum(axis=1), int(C_dev.shape[0]))
         if (
             min(ML, max_level) >= 1
             and C_dev.shape[0] <= DENSE_L1_MAX
@@ -1226,7 +1282,7 @@ def skeleton(
             l == 1
             and engine is None
             and pre_l1 is None
-            and max(8, -(-nprime // 8) * 8) <= L1_LOCAL_MAX_WIDTH
+            and _l1_route_local(deg, int(C_dev.shape[0]))
         )
         if l1_local_now or (l == 1 and (pre_l1 is not None or n <= DENSE_L1_MAX)):
             if l1_local_now:

@@ -78,7 +78,13 @@ def reduce_gcs(
         C = np.asarray(C).reshape(num_var, num_var)
         Cr = C[np.ix_(keep, keep)].astype(np.float32)
 
-    Ssub = S[np.ix_(keep, keep)][:, :, :max_level]  # (k, k, max_level)
+    # S may be allocated narrower than the requested output stride (the
+    # skeleton only allocates its own run's depth, see `skeleton`'s sepset
+    # note); missing trailing slots are -1 by construction, so the output
+    # pads with -1 up to ``max_level`` (the reference always carries the
+    # full ML stride, `parent_set.cpp:108`)
+    depth = min(S.shape[2], max_level)
+    Ssub = S[np.ix_(keep, keep)][:, :, :depth]  # (k, k, depth)
     valid = (Ssub != -1) & np.isin(Ssub, keep)
     Sr = np.full((k, k, max_level), -1, dtype=np.int32)
     # compact valid entries to the front of each (i, j) row
@@ -86,7 +92,7 @@ def reduce_gcs(
     Scomp = np.take_along_axis(Ssub, order, axis=2)
     vcomp = np.take_along_axis(valid, order, axis=2)
     mapped = np.where(vcomp, old_to_new[np.clip(Scomp, 0, num_var - 1)], -1)
-    Sr[:] = mapped
+    Sr[:, :, :depth] = mapped
 
     if index_map is not None:
         new_to_old = np.asarray(index_map, dtype=np.int32)[keep]

@@ -105,6 +105,76 @@ def test_gather_duplicate_neighbours_and_window_edges():
     assert _biteq(qb, C[node_ixs[:, None], nbrs])
 
 
+def test_level_local_wide_degree_positions_not_truncated(monkeypatch):
+    """Degrees above 256 must not route through the uint8 hit-bits fetch:
+    neighbour-list slots would wrap mod 256 and produce silently wrong
+    sepsets on the production want_pmax=False path (ADVICE r4). The gather
+    route must match the XLA route bit-for-bit at a 270-degree node."""
+    from cigwas_tpu.skeleton import cupc
+
+    rng = np.random.default_rng(7)
+    v = 384
+    C = (0.3 * rng.normal(size=(v, v))).astype(np.float32)
+    C = ((C + C.T) / 2).astype(np.float32)
+    np.fill_diagonal(C, 1.0)
+    G = np.zeros((v, v), np.int32)
+    G[0, 1:271] = 1
+    G[1:271, 0] = 1
+    C_dev = jnp.asarray(C)
+    out = {}
+    for flag in ("0", "1"):
+        monkeypatch.setattr(cupc, "PALLAS_GATHER", flag)
+        removed, (xs, ys, rho, sep) = cupc._run_level_local(
+            C_dev, G, 2, 0.9, want_rho=False
+        )
+        assert rho is None
+        out[flag] = (removed, xs, ys, sep)
+    ra, xa, ya, sa = out["0"]
+    rb, xb, yb, sb = out["1"]
+    # the case must actually exercise slots > 255 (neighbour list is
+    # 1..270, so variable index == slot + 1)
+    assert (sa > 256).any()
+    assert np.array_equal(ra, rb)
+    assert np.array_equal(xa, xb) and np.array_equal(ya, yb)
+    assert np.array_equal(sa, sb)
+
+
+def test_gather_threshold_is_traced_not_baked(monkeypatch):
+    """A second skeleton run with a DIFFERENT alpha in the same process
+    must not reuse the first run's rho threshold from the fused-kernel jit
+    cache (ADVICE r4: the cache key omitted the baked threshold)."""
+    from cigwas_tpu.ops.pallas import panel_gather as pg
+    from cigwas_tpu.skeleton import cupc
+
+    rng = np.random.default_rng(11)
+    v = 256
+    C = (0.4 * rng.normal(size=(v, v))).astype(np.float32)
+    C = ((C + C.T) / 2).astype(np.float32)
+    np.fill_diagonal(C, 1.0)
+    G = np.zeros((v, v), np.int32)
+    G[0, 1:65] = 1
+    G[1:65, 0] = 1
+    C_dev = jnp.asarray(C)
+    pg._FUSED_CACHE.clear()
+
+    def run(flag, th):
+        monkeypatch.setattr(cupc, "PALLAS_GATHER", flag)
+        removed, (xs, ys, _, sep) = cupc._run_level_local(
+            C_dev, G, 2, th, want_rho=False
+        )
+        return removed, xs, ys, sep
+
+    # first call populates the fused cache with the loose threshold
+    loose = run("1", 0.9)
+    assert loose[1].size > 0
+    # the tight-threshold rerun must decide with ITS OWN threshold
+    tight_pallas = run("1", 1e-6)
+    tight_xla = run("0", 1e-6)
+    assert np.array_equal(tight_pallas[0], tight_xla[0])
+    assert np.array_equal(tight_pallas[1], tight_xla[1])
+    assert np.array_equal(tight_pallas[3], tight_xla[3])
+
+
 def test_skeleton_route_parity_pallas_gather(monkeypatch):
     """skeleton() with the Pallas gather route forced (interpret mode on
     CPU) is byte-identical to the XLA-gather route — adjacency, sepsets,

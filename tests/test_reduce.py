@@ -59,6 +59,24 @@ def test_reduce_gcs_respects_ml_stride():
     assert list(red.S[0, 1]) == [2, -1]
 
 
+def test_reduce_gcs_pads_narrow_sepset_to_requested_stride():
+    """A sepset allocated NARROWER than the requested output stride pads
+    with -1 instead of raising: the skeleton allocates only its own run's
+    depth (min(ML, max_level)), while the stage-2 reduce requests the full
+    ML stride for reference-compatible output (`parent_set.cpp:108`).
+    Regression for ADVICE r4 (broadcast ValueError for max_level_two < 14).
+    """
+    n, p = 3, 1
+    G = np.zeros((n, n), np.int32)
+    C = np.eye(n, dtype=np.float32)
+    S = np.full((n, n, 3), -1, np.int32)
+    S[0, 1, 0] = 2
+    red = reduce_gcs(G, C, S, np.array([0, 1, 2]), n, p, max_level=ML)
+    assert red.S.shape == (3, 3, ML)
+    assert list(red.S[0, 1]) == [2] + [-1] * (ML - 1)
+    assert (red.S[1, 0] == -1).all()
+
+
 def test_reduce_gc_subsets_ess():
     n, p = 4, 2
     G = np.ones((n, n), np.int32)

@@ -288,6 +288,41 @@ def test_level1_list_path_matches_dense_path(n10_fixture, monkeypatch):
     np.testing.assert_array_equal(dense.pmax, listp.pmax)
 
 
+def test_level1_hub_routes_local_and_matches_dense(monkeypatch):
+    """A single hub node above L1_LOCAL_MAX_WIDTH must no longer force the
+    whole panel through the dense v^3 sweep (VERDICT r4 #1): the bucketed
+    cost model routes it local, and results stay identical to the dense
+    route (same tests, same smallest-index tie-breaking)."""
+    import cigwas_tpu.skeleton.cupc as cupc
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    n_z, n_w = 150, 20
+    z = rng.normal(size=(n_z, n))
+    hub = z.sum(axis=0) / np.sqrt(n_z) + 0.5 * rng.normal(size=n)
+    w = np.zeros((n_w, n))
+    w[0] = rng.normal(size=n)
+    for i in range(1, n_w):
+        w[i] = 0.7 * w[i - 1] + np.sqrt(1 - 0.49) * rng.normal(size=n)
+    X = np.vstack([hub, z, w])
+    C = np.corrcoef(X).astype(np.float32)
+    th = threshold_array(n, 0.05)
+
+    # the hub's degree must exceed the all-or-nothing width gate for the
+    # test to exercise the new routing
+    res_local = skeleton(C, th, 3)
+    deg0 = res_local.G.sum()  # touch to ensure it ran
+    assert deg0 > 0
+    assert cupc._l1_route_local(
+        np.array([n_z + 5]), 256
+    ), "cost model should route a lone hub local"
+    monkeypatch.setattr(cupc, "L1_LOCAL_COST_RATIO", 1 << 60)
+    res_dense = cupc.skeleton(C, th, 3)
+    np.testing.assert_array_equal(res_local.G, res_dense.G)
+    np.testing.assert_array_equal(res_local.sepset, res_dense.sepset)
+    np.testing.assert_array_equal(res_local.pmax, res_dense.pmax)
+
+
 def test_hetcor_level1_list_path_matches_dense(n10_fixture, monkeypatch):
     import cigwas_tpu.skeleton.cupc as cupc
 
