@@ -18,13 +18,19 @@ Phases (all on the real TPU):
    hot loop, `cuPC-S.cu:486-3020`).
 4. the reference-DEFAULT ~11k-marker block (`ci-gwas.py:75`) through the
    device-resident two-stage flow, with per-level walls.
-5. block-throughput scaling: `run_all_blocks` over a synthetic multi-block
+5. cuskss/hetcor: a merged-scale summary-stat input (v ~ 10k, heterogeneous
+   per-pair ESS) through the two-stage hetcor skeleton — the biobank-scale
+   path (`cli.cpp:194-346`).
+6. chromosome-scale `block`: a 50k-marker banded correlation + LD blocking
+   pass (`corr_host.cu:1199-1531`).
+7. block-throughput scaling: `run_all_blocks` over a synthetic multi-block
    chromosome with 1 and 2 LPT partitions (run sequentially on the one chip,
    projected), PLUS measured concurrent-OS-process scaling on CPU with
    single-core-pinned workers. North star is >= 0.8 (BASELINE.md).
 
-The reference repo publishes no numbers (BASELINE.md), so vs_baseline is 1.0
-by definition. Prints ONE JSON line.
+The reference repo publishes no numbers (BASELINE.md), so vs_baseline is the
+ratio of this round's headline to round 1's (R1_HEADLINE). Prints ONE JSON
+line.
 """
 
 import json
@@ -284,7 +290,13 @@ def _phase_block11k(result):
     u1 = rng.random((m, n)).astype(np.float32)
     u2 = rng.random((m, n)).astype(np.float32)
     G = (u1 < pfreq).astype(np.float32) + (u2 < pfreq)
+    # planted marker->trait effects (like the 2048 phase): a pure-noise
+    # phenotype makes the depth-1 reduction trivial and stage 2 vacuous
+    # (r4's empty block11k_stage2_level_wall_s, VERDICT r4 #4)
     Y = rng.normal(size=(p, n)).astype(np.float32)
+    for t in range(p):
+        for k in rng.integers(0, m, 5):
+            Y[t] += 0.2 * (G[k] - G[k].mean()) / G[k].std()
     Y = (Y - Y.mean(1, keepdims=True)) / Y.std(1, keepdims=True)
     bb = encode_bed_values(G)
     means, stds = G.mean(axis=1), G.std(axis=1)
@@ -357,11 +369,160 @@ def _phase_block11k(result):
     result["block11k_stage2_level_wall_s"] = {
         k: round(v, 2) for k, v in stats2.get("level_wall_s", {}).items()
     }
+    lvl2 = stats2.get("level_wall_s", {})
+    deep2 = sum(w_ for l, w_ in lvl2.items() if l >= 2)
+    if stats2.get("ci_tests") and deep2 > 0:
+        result["block11k_stage2_level2plus_tests_per_sec"] = round(
+            stats2["ci_tests"] / deep2, 1
+        )
     deep = sum(w_ for l, w_ in lvl.items() if l >= 2)
     if stats.get("ci_tests") and deep > 0:
         result["block11k_level2plus_tests_per_sec"] = round(
             stats["ci_tests"] / deep, 1
         )
+
+
+def _phase_cuskss(result):
+    """First device benchmark of the summary-stat (cuskss/hetcor) path —
+    the biobank-scale path BASELINE.md names (VERDICT r4 #1 'missing'):
+    a merged-scale input (AR-LD mxm, mxp with planted effects + LD smear,
+    pxp with SE-derived heterogeneous per-pair ESS) at v ~ 10k through the
+    two-stage `run_cusk`, reporting wall + per-level walls + level>=2
+    tests/s. Match: `cli.cpp:194-346`, `hetcor-cuPC-S.cu:75-341`.
+    """
+    from cigwas_tpu.io.results import ReducedGC
+    from cigwas_tpu.pipelines.cuskss import run_cusk
+    from cigwas_tpu.utils.stats import hetcor_threshold
+
+    m = int(os.environ.get("CIGWAS_BENCH_MSS", 10000))
+    p = 8
+    n_gwas = 5.0e5  # UKB scale; thresholds at n=5e5 like `cupc_tests.cpp:13`
+    rng = np.random.default_rng(2)
+    # mxm: AR(1) LD correlation rho^|i-j| (the summary-stat form of the
+    # 11k phase's latent AR panel); reference reads this as a binary tril
+    # (`marker_summary_stats.cpp:8-24`)
+    ii = np.arange(m, dtype=np.float32)
+    mxm = (0.92 ** np.abs(ii[:, None] - ii[None, :])).astype(np.float32)
+    # mxp: 5 planted causal markers per trait (|corr| ~ 0.03, well above
+    # the marginal threshold at n=5e5) + GWAS sampling noise; LD smears
+    # each effect over its AR neighbourhood exactly as real data would
+    mxp = (rng.normal(size=(m, p)) / np.sqrt(n_gwas)).astype(np.float32)
+    for t in range(p):
+        for k in rng.integers(0, m, 5):
+            mxp[:, t] += 0.03 * mxm[:, k]
+    pxp = np.full((p, p), 0.1, np.float32) + 0.9 * np.eye(p, dtype=np.float32)
+    v = m + p
+    sq_corrs = np.ones((v, v), dtype=np.float32)
+    sq_corrs[:m, :m] = mxm
+    sq_corrs[:m, m:] = mxp
+    sq_corrs[m:, :m] = mxp.T
+    sq_corrs[m:, m:] = pxp
+    # heterogeneous ESS: pearson N everywhere, per-entry GWAS sample sizes
+    # on the mxp/pxp blocks — the layout `make_square_cuskss_inputs`
+    # produces (`cli.cpp:89-173`); pxp entries follow the SE -> ESS map
+    # N = ((1 - rho^2)/se)^2 (`trait_summary_stats.cpp:94-169`)
+    sq_ess = np.full((v, v), n_gwas, dtype=np.float32)
+    mp_ess = rng.uniform(3e5, 5e5, size=(m, p)).astype(np.float32)
+    sq_ess[:m, m:] = mp_ess
+    sq_ess[m:, :m] = mp_ess.T
+    pp_se = (1.0 - pxp**2) / np.sqrt(rng.uniform(3e5, 5e5, size=(p, p)))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        pp_ess = ((1.0 - pxp**2) / pp_se) ** 2
+    np.fill_diagonal(pp_ess, n_gwas)  # rho=1 diagonal has no defined SE
+    sq_ess[m:, m:] = pp_ess
+    th = hetcor_threshold(1e-4)
+    gc0 = ReducedGC(
+        num_var=v, num_phen=p, max_level=3,
+        new_to_old_indices=np.arange(v, dtype=np.int32),
+        G=np.ones((v, v), dtype=np.int32), C=sq_corrs, S=sq_ess,
+    )
+
+    def run(stats1=None, stats2=None):
+        g1 = run_cusk(gc0, th, 1, 3, [1] * p, stats=stats1)
+        return run_cusk(g1, th, 1, 14, [1] * p, stats=stats2)
+
+    run()  # warmup/compile
+    best = None
+    for _ in range(max(1, min(REPS, 2))):
+        stats1: dict = {}
+        stats2: dict = {}
+        t0 = time.perf_counter()
+        g2 = run(stats1=stats1, stats2=stats2)
+        wall = time.perf_counter() - t0
+        if best is None or wall < best[0]:
+            best = (wall, stats1, stats2, g2)
+    wall, stats1, stats2, g2 = best
+    result["cuskss_markers"] = m
+    result["cuskss_wall_s"] = round(wall, 2)
+    result["cuskss_level_wall_s"] = {
+        str(k): round(w, 2) for k, w in stats1.get("level_wall_s", {}).items()
+    }
+    result["cuskss_stage2_level_wall_s"] = {
+        str(k): round(w, 2) for k, w in stats2.get("level_wall_s", {}).items()
+    }
+    result["cuskss_markers_retained"] = int(g2.num_markers())
+    deep = sum(
+        w for st in (stats1, stats2)
+        for l, w in st.get("level_wall_s", {}).items() if l >= 2
+    )
+    tests = stats1.get("ci_tests", 0) + stats2.get("ci_tests", 0)
+    if tests and deep > 0:
+        result["cuskss_level2plus_tests_per_sec"] = round(tests / deep, 1)
+
+
+def _phase_block50k(result):
+    """Chromosome-scale `block`: stream a >= 50k-marker synthetic
+    chromosome through the banded correlation + LD blocking (VERDICT r4
+    #2 'missing' / ask 7). Reports wall and effective decoded-genotype
+    GB/s. Match: `corr_host.cu:1199-1531`, `io.cpp:251-264`.
+    """
+    from cigwas_tpu.blocking import block_chr
+    from cigwas_tpu.io.bed import encode_bed_values
+    from cigwas_tpu.ops.corr import banded_row_abs_sums, kendall_npn_corr_banded
+
+    m = int(os.environ.get("CIGWAS_BENCH_M50K", 50000))
+    n = 8192
+    corr_width = 2000  # the reference default (`ci-gwas.py:89-90`)
+    rng = np.random.default_rng(5)
+    # AR(1) LD over the full chromosome, built row-blockwise to bound host
+    # memory (the .bed bytes are what actually ship to the device)
+    bb = np.empty((m, n // 4), dtype=np.uint8)
+    acc = rng.normal(size=n).astype(np.float32)
+    ar, scale = 0.92, float(np.sqrt(1 - 0.92**2))
+    blk = 4096
+    for b0 in range(0, m, blk):
+        rows = np.empty((min(blk, m - b0), n), dtype=np.float32)
+        for i in range(rows.shape[0]):
+            acc = ar * acc + scale * rng.normal(size=n).astype(np.float32)
+            rows[i] = acc
+        pf = 1 / (1 + np.exp(-rows * 0.8))
+        dose = (rng.random(rows.shape) < pf).astype(np.float32) + (
+            rng.random(rows.shape) < pf
+        )
+        bb[b0 : b0 + rows.shape[0]] = encode_bed_values(dose)
+
+    def run():
+        band = kendall_npn_corr_banded(bb, n, corr_width)
+        sums = banded_row_abs_sums(band)
+        return block_chr(sums, 1, 11000)
+
+    blocks = run()  # warmup/compile
+    best = None
+    for _ in range(max(1, min(REPS, 2))):
+        t0 = time.perf_counter()
+        blocks = run()
+        w = time.perf_counter() - t0
+        best = w if best is None else min(best, w)
+    result["block50k_wall_s"] = round(best, 2)
+    result["block50k_blocks"] = len(blocks)
+    # packed .bed bytes streamed through host->device per pass, and the
+    # achieved contingency-matmul rate at the banded tile shapes
+    result["block50k_bed_gbps"] = round((m * n / 4) / best / 1e9, 3)
+    row_tile = 2048
+    n_pad = 4 * (((n // 4 + 31) // 32) * 32)
+    tiles = -(-m // row_tile)
+    flops = tiles * 2.0 * (3 * row_tile) * (3 * (row_tile + corr_width)) * n_pad
+    result["block50k_tops"] = round(flops / best / 1e12, 1)
 
 
 def _phase_production_block(result):
@@ -498,7 +659,7 @@ def _phase_partition_scaling(result):
         import sys as _sys
 
         env = dict(os.environ, JAX_PLATFORMS="cpu",
-                   CIGWAS_WORKER_STEADY="1",
+                   CIGWAS_WORKER_STEADY="2",
                    PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
         env.pop("PALLAS_AXON_POOL_IPS", None)  # axon hook inits the backend
         ncores = os.cpu_count() or 2
@@ -528,24 +689,30 @@ def _phase_partition_scaling(result):
                 )
                 for pi in range(nparts)
             ]
-            inner = []
+            inner, walls = [], []
             for p in ps:
                 out, _ = p.communicate()
                 if p.returncode != 0:
                     raise RuntimeError(f"partition worker failed ({tag})")
-                inner.append(json.loads(out.splitlines()[-1])["wall_s"])
-            return time.perf_counter() - t0, max(inner)
+                rec = json.loads(out.splitlines()[-1])
+                inner.append(rec["wall_s"])
+                walls.append(rec.get("walls_s", [rec["wall_s"]]))
+            return time.perf_counter() - t0, max(inner), walls
 
-        # steady-state workers self-warm (their first pass), so no
-        # separate warm pass; CPU walls are stable enough for one rep each
-        o1a, i1a = procs_pass("p1a", 1)
-        o2a, i2a = procs_pass("p2a", 2)
+        # steady-state workers self-warm (their first pass) and report the
+        # MIN over 2 steady passes (CIGWAS_WORKER_STEADY=2): the scaling
+        # figure no longer rides a single sample (VERDICT r4 #6)
+        o1a, i1a, w1 = procs_pass("p1a", 1)
+        o2a, i2a, w2 = procs_pass("p2a", 2)
         mp1, mp2 = o1a, o2a
         in1, in2 = i1a, i2a
         result["mproc_wall_1proc_s"] = round(mp1, 2)
         result["mproc_wall_2proc_s"] = round(mp2, 2)
         result["mproc_inner_wall_1proc_s"] = round(in1, 2)
         result["mproc_inner_wall_2proc_s"] = round(in2, 2)
+        result["mproc_worker_walls_2proc_s"] = [
+            [round(w, 2) for w in ws] for ws in w2
+        ]
         # 1 worker does ALL blocks on one core; 2 workers do their halves
         # concurrently on one core each -> ideal wall ratio is 2x. The
         # scaling figure uses the in-run walls (startup amortized; see
@@ -554,6 +721,13 @@ def _phase_partition_scaling(result):
         result["measured_scaling_2proc_incl_startup"] = round(
             min(1.0, mp1 / (2 * mp2)), 3
         )
+
+
+# Round-1 headline (BENCH_r01.json value): the reference repo publishes no
+# numbers (BASELINE.md), so vs_baseline is defined as the ratio of this
+# round's headline to the FIRST round's — the machine-readable
+# round-over-round story VERDICT r4 #7 asked for.
+R1_HEADLINE = 2.79038288e10
 
 
 def main() -> int:
@@ -567,6 +741,7 @@ def main() -> int:
         "device": str(jax.devices()[0]),
     }
     _phase_fused_step(result)
+    result["vs_baseline"] = round(result["value"] / R1_HEADLINE, 2)
     if os.environ.get("CIGWAS_BENCH_FULL", "1") != "0":
         try:
             _phase_fused_step_attribution(result)
@@ -580,6 +755,14 @@ def main() -> int:
             _phase_block11k(result)
         except Exception as e:  # pragma: no cover
             result["block11k_phase_error"] = repr(e)
+        try:
+            _phase_cuskss(result)
+        except Exception as e:  # pragma: no cover
+            result["cuskss_phase_error"] = repr(e)
+        try:
+            _phase_block50k(result)
+        except Exception as e:  # pragma: no cover
+            result["block50k_phase_error"] = repr(e)
         try:
             _phase_partition_scaling(result)
         except Exception as e:  # pragma: no cover

@@ -642,6 +642,13 @@ def corr_panel_device_tiled(
         )
         t0 += rt
     t_m = _mark("panel_dispatch_s", t_m)
+    if stats is not None:
+        # attribution-only sentinel: fetching one element of the canvas
+        # waits out every queued Kendall stripe, so this mark isolates the
+        # DEVICE wall of the mm tiles (the r4 bench showed 7.6 s of the
+        # panel phase hiding in the first downstream fetch, VERDICT r4 #5)
+        float(C[0, 0])
+        t_m = _mark("panel_mm_wall_s", t_m)
 
     # NaN marker-phen corrs stay NaN: the level-0 screen keeps such edges,
     # matching the fused `_panel_device` / host `pack_square_corr` paths
@@ -651,13 +658,18 @@ def corr_panel_device_tiled(
         mp_pad = np.zeros((m_pad, p), dtype=np.float32)
         mp_pad[:m] = np.asarray(mp_corr, dtype=np.float32)
         mp_pad_dev = jnp.asarray(mp_pad)
+    # this fetch SYNCS behind every queued tile dispatch on the serialized
+    # relay: without the stats sentinel above it absorbs the whole mm-tile
+    # device wall (the "7.6 s black box" of VERDICT r4 #5)
     pp = phen_phen_corr(phen).astype(np.float32)
+    t_m = _mark("panel_pp_sync_s", t_m)
     idx = np.concatenate(
         [np.arange(m), np.arange(m_pad, m_pad + p), np.arange(m, m_pad)]
     ).astype(np.int32)
     C = _panel_assemble(
         C, mp_pad_dev, jnp.asarray(pp), jnp.asarray(idx), jnp.int32(v)
     )
+    t_m = _mark("panel_assemble_s", t_m)
     return C, v
 
 

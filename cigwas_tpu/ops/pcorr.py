@@ -596,6 +596,73 @@ def _hetcor_local_gather(C, N, t_ix, node_ixs, nbrs):
     return Cb, qb, Nbv, Nbc, nrv, nrc, tn, t_x
 
 
+@jax.jit
+def hetcor1_local_sweep(C, N, t_ix, node_ixs, nbrs, deg, th):
+    """ALL hetcor level-1 tests of a node tile in one dispatch.
+
+    For every node x and neighbour slot y, the minimum hetcor margin
+    |rho_{xy|s}| - tanh(th / sqrt(mean_ess({x,y,s}) - 4)) over single
+    conditioning neighbours s under the time constraint — the same
+    candidate set as `cal_Indepl1_ess` (`hetcor-cuPC-S.cu:343-460`) and as
+    the dense sweep (:func:`hetcor1_dense_margin`), at sum(deg^2) cost
+    instead of v^3. The arithmetic mirrors `_hetcor1_dense_padded` op for
+    op (same products, same left-associated ESS sums, same tanh), so the
+    two routes produce IDENTICAL margins; the per-slot tanh rides ~1e8
+    slots here instead of ~1e12 at a 10k summary-stat panel.
+
+    Returns margin_min (nt, d) per neighbour slot (no positions: hetcor
+    keeps no sepsets).
+    """
+    Cb, qb, Nbv, Nbc, nrv, nrc, tn, t_x = _hetcor_local_gather(
+        C, N, t_ix, node_ixs, nbrs
+    )
+    return _hetcor1_local_core(Cb, qb, Nbv, Nbc, nrv, nrc, tn, t_x, deg, th)
+
+
+def hetcor1_local_sweep_pre(Cb, qb, Nb_raw, nr_raw, tn, t_x, deg, th):
+    """`hetcor1_local_sweep` on PRE-GATHERED local panels (row-sharded
+    entry point); NaN masking identical to `_hetcor_local_gather`."""
+    Nbv = jnp.nan_to_num(Nb_raw)
+    Nbc = jnp.where(jnp.isnan(Nb_raw), 0.0, 1.0)
+    nrv = jnp.nan_to_num(nr_raw)
+    nrc = jnp.where(jnp.isnan(nr_raw), 0.0, 1.0)
+    return _hetcor1_local_core(Cb, qb, Nbv, Nbc, nrv, nrc, tn, t_x, deg, th)
+
+
+def _hetcor1_local_core(Cb_, qb_, Nbv, Nbc, nrv, nrc, tn, t_x, deg, th):
+    d = qb_.shape[1]
+    # lanes layout (s, y, nt) like level1_local_sweep_pre; the rho
+    # expression uses the same pre-scaled grouping as the dense kernel
+    Cb = jnp.transpose(Cb_, (1, 2, 0))  # (s, y, nt)
+    qb = qb_.T  # (b, nt)
+    Rc = jax.lax.rsqrt(jnp.abs(1.0 - Cb * Cb))
+    Pc = Cb * Rc
+    Rq = jax.lax.rsqrt(jnp.abs(1.0 - qb * qb))
+    Pq = qb * Rq
+    rho = jnp.abs(qb[None] * (Rq[:, None] * Rc) - Pq[:, None] * Pc)
+    # ESS sums, left-associated (x,y) + (x,s) + (y,s) like the dense path
+    nvT = (nrv * nrc).T  # (b, nt): masked N[x, b]
+    ncT = nrc.T
+    NbT = jnp.transpose(Nbv * Nbc, (2, 1, 0))  # [s, y, nt] = N[y_nbr, s_nbr]
+    NbcT = jnp.transpose(Nbc, (2, 1, 0))
+    total = nvT[None, :, :] + nvT[:, None, :] + NbT
+    count = ncT[None, :, :] + ncT[:, None, :] + NbcT
+    mean_ess = total / count
+    th_test = jnp.tanh(th / jnp.sqrt(mean_ess - 4.0))
+    tnT = tn.T  # (b, nt)
+    t_pair = jnp.maximum(t_x[None, :], tnT)  # (y, nt)
+    bad_time = tnT[:, None, :] > t_pair[None, :, :]
+    s_ix = jnp.arange(d)
+    bad = (
+        (s_ix[:, None, None] >= deg[None, None, :])
+        | (s_ix[:, None, None] == s_ix[None, :, None])
+        | bad_time
+    )
+    margin = rho - th_test
+    margin = jnp.where(bad | ~jnp.isfinite(margin), MARGIN_BIG, margin)
+    return jnp.min(margin, axis=0).T  # (nt, d)
+
+
 @partial(jax.jit, static_argnames=("ct",))
 def hetcor2_local_sweep(C, N, t_ix, node_ixs, nbrs, deg, th, ct: int):
     """ALL hetcor level-2 tests of a node tile in one dispatch: min margin

@@ -114,13 +114,24 @@ def run_partition_process(argv=None) -> int:
     if os.environ.get("CIGWAS_WORKER_STEADY"):
         # steady-state wall: a long-running production worker amortizes
         # its per-process compile/trace warmup over the whole partition
-        # stream, so the scaling measure uses a SECOND pass with every
-        # kernel already compiled (outputs are byte-identical reruns)
-        one_pass()
-    results, wall = one_pass()
+        # stream, so the scaling measure uses passes with every kernel
+        # already compiled (outputs are byte-identical reruns). The env
+        # value is the number of steady passes; the reported wall is
+        # their MIN — single samples on a shared VM ride one noise draw
+        # (VERDICT r4 #6), and min-of-k inside one process pays process
+        # startup once instead of k times.
+        k = max(1, int(os.environ["CIGWAS_WORKER_STEADY"]))
+        one_pass()  # warmup (compile/trace)
+        passes = [one_pass() for _ in range(k)]
+        walls = [w for _, w in passes]
+        results, wall = min(passes, key=lambda rw: rw[1])
+    else:
+        results, wall = one_pass()
+        walls = [wall]
     print(json.dumps({
         "partition": int(pindex),
         "wall_s": wall,
+        "walls_s": walls,
         "results": {k: v for k, v in results.items()},
     }))
     return 0

@@ -139,18 +139,22 @@ def run_cusk(
     verbose: bool = False,
     ess_mode: str = "reference",
     engine=None,
+    stats: dict | None = None,
 ) -> ReducedGC:
     """One hetcor-skeleton stage + ancestor reduction (`run_cusk`, `cli.cpp:29-60`).
 
     engine: a `cigwas_tpu.parallel.sharded.ShardedEngine` /
     `RowShardedEngine` runs the hetcor level kernels SPMD over its mesh
     (byte-identical outputs; see `make_engine`).
+    stats: optional dict collecting the hetcor skeleton's per-level walls
+    and enumerated level >= 2 test counts (the cudaEvent prints of
+    `hetcor-cuPC-S.cu:75-341` made structured).
     """
     time_index = np.zeros(gc.num_var, dtype=np.int32)
     time_index[gc.num_markers() :] = np.asarray(time_index_traits, dtype=np.int32)
     res = hetcor_skeleton(
         gc.C, gc.G, gc.S, threshold, max_level, time_index=time_index,
-        verbose=verbose, ess_mode=ess_mode, engine=engine,
+        verbose=verbose, ess_mode=ess_mode, engine=engine, stats=stats,
     )
     keep = subset_variables(res.G, gc.num_var, gc.num_markers(), max_depth)
     return reduce_gc(

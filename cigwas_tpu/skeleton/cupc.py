@@ -790,6 +790,61 @@ def _run_level_local(
     )
 
 
+def _run_level_local_hetcor1(
+    C_dev,
+    N_dev,
+    t_dev,
+    G: np.ndarray,
+    th: float,
+    verbose: bool = False,
+):
+    """Hetcor level 1 via the neighbour-list local sweep (bucketed tiles).
+
+    Same candidate set, margins and removal decisions as the dense route
+    (`hetcor1_dense_margin` — the kernels mirror each other op for op), at
+    sum(deg^2) cost instead of v^3: the dense sweep's per-slot tanh made
+    level 1 the dominant wall at summary-stat panel sizes, exactly like
+    the plain skeleton's r4 level-1 wall (VERDICT r4 #1/#3).
+    """
+    n = G.shape[0]
+    Gb = G.astype(bool)
+    deg_all = Gb.sum(axis=1)
+    active = np.where(deg_all >= 2)[0]
+    removed = np.zeros((n, n), dtype=bool)
+    if active.size == 0:
+        return removed
+    margin_full = np.full((n, n), np.inf, dtype=np.float32)
+    pending = []
+    for d_pad, nodes, _ct, node_tile in _local_tile_plan(deg_all, active, 1):
+        for s0 in range(0, len(nodes), node_tile):
+            tile = nodes[s0 : s0 + node_tile]
+            pad = node_tile - len(tile)
+            tile_p = (
+                np.concatenate([tile, np.full(pad, tile[-1], np.int32)])
+                if pad
+                else tile
+            )
+            nbrs, deg = _compact_neighbors(Gb, tile_p, d_pad)
+            m_dev = pcorr_ops.hetcor1_local_sweep(
+                C_dev, N_dev, t_dev, jnp.asarray(tile_p), jnp.asarray(nbrs),
+                jnp.asarray(deg), jnp.float32(th),
+            )
+            pending.append((tile, nbrs, deg, m_dev))
+    for _, _, _, m_dev in pending:
+        m_dev.copy_to_host_async()
+    for tile, nbrs, deg, m_dev in pending:
+        m_c = np.asarray(m_dev)
+        nt_real = len(tile)
+        d_pad = nbrs.shape[1]
+        valid = np.arange(d_pad)[None, :] < deg[:nt_real, None]
+        ri, ci = np.nonzero(valid)
+        margin_full[tile[ri], nbrs[ri, ci]] = m_c[ri, ci]
+    if verbose:
+        print(f"[hetcor level 1] local-sweep launches: {len(pending)}")
+    cond = (margin_full < 0) & Gb
+    return cond | cond.T
+
+
 def _run_level_local_hetcor(
     C_dev,
     N_dev,
@@ -799,6 +854,7 @@ def _run_level_local_hetcor(
     th: float,
     verbose: bool = False,
     engine=None,
+    stats: dict | None = None,
 ):
     """Hetcor levels 2/3 via the dense local-panel recursion: min margin
     over ALL conditioning sets per (x, y), per-test mean-ESS thresholds and
@@ -825,6 +881,13 @@ def _run_level_local_hetcor(
             2: engine.hetcor2_local_sweep,
             3: engine.hetcor3_local_sweep,
         }[l]
+    if stats is not None:
+        stats["ci_tests"] = stats.get("ci_tests", 0) + int(
+            sum(
+                math.comb(int(deg_all[x]), l) * int(deg_all[x])
+                for x in active
+            )
+        )
 
     margin_full = np.full((n, n), np.inf, dtype=np.float32)
     pending = []
@@ -1368,6 +1431,7 @@ def hetcor_skeleton(
     verbose: bool = False,
     ess_mode: str = "reference",
     engine=None,
+    stats: dict | None = None,
 ) -> SkeletonResult:
     """Skeleton with per-pair effective sample sizes and time constraints.
 
@@ -1433,6 +1497,7 @@ def hetcor_skeleton(
     N_dev = put(N_lvl)
     t_dev = jnp.asarray(time_index)
     final_level = 0
+    _t_enter = time.perf_counter()
     for l in range(1, min(ML, max_level) + 1):
         deg = G.sum(axis=1)
         nprime = int(deg.max()) if n else 0
@@ -1441,7 +1506,15 @@ def hetcor_skeleton(
             break
         if verbose:
             print(f"[hetcor_skeleton] level {l}: max degree {nprime}")
-        if l == 1 and n <= DENSE_L1_MAX:
+        t_level = time.perf_counter() if stats is not None else 0.0
+        if l == 1 and engine is None and _l1_route_local(deg, n):
+            # neighbour-list local sweep at sum(deg^2) cost; identical
+            # margins to the dense route (see hetcor1_local_sweep)
+            removed = _run_level_local_hetcor1(
+                C_dev, N_dev, t_dev, G.astype(np.int32), float(threshold),
+                verbose=verbose,
+            )
+        elif l == 1 and n <= DENSE_L1_MAX:
             # dense masked sweep, one dispatch (same tests as the
             # neighbour-list enumeration; see hetcor1_dense_margin)
             dense1 = (
@@ -1454,7 +1527,7 @@ def hetcor_skeleton(
         elif l in LOCAL_LEVELS:
             removed = _run_level_local_hetcor(
                 C_dev, N_dev, t_dev, G.astype(np.int32), l, float(threshold),
-                verbose=verbose, engine=engine,
+                verbose=verbose, engine=engine, stats=stats,
             )
         else:
             removed, _, _ = _run_level(
@@ -1466,14 +1539,21 @@ def hetcor_skeleton(
                 hetcor_args=(N_dev, t_dev, float(threshold)),
                 verbose=verbose,
                 engine=engine,
+                stats=stats,
             )
         G = G & ~removed
+        if stats is not None:
+            stats.setdefault("level_wall_s", {})[l] = (
+                time.perf_counter() - t_level
+            )
         final_level = l
     else:
         final_level = min(ML, max_level)
 
     if pad:
         G = G[:v_real, :v_real]
+    if stats is not None:
+        stats["skeleton_wall_s"] = time.perf_counter() - _t_enter
     return SkeletonResult(
         G=G.astype(np.int32), sepset=None, pmax=None, final_level=final_level
     )

@@ -148,8 +148,10 @@ def test_hetcor_time_index_matches_oracle(seed):
 
 @pytest.mark.parametrize("seed", [5, 6])
 def test_hetcor_dense_l1_matches_list_path_random_ess(seed, monkeypatch):
-    """The dense level-1 margin sweep and the neighbour-list enumeration must
-    agree for heterogeneous (NaN-holed) ESS and time indices, both modes."""
+    """All three hetcor level-1 routes — the neighbour-list LOCAL sweep
+    (default at small degrees), the dense margin sweep, and the
+    combination-scan enumeration — must agree for heterogeneous
+    (NaN-holed) ESS and time indices, both modes."""
     import cigwas_tpu.skeleton.cupc as cupc
 
     rng = np.random.default_rng(seed)
@@ -160,14 +162,22 @@ def test_hetcor_dense_l1_matches_list_path_random_ess(seed, monkeypatch):
     th = hetcor_threshold(1e-3)
     G0 = np.ones((v, v), np.int32)
     for ess_mode in ("reference", "float"):
-        dense = hetcor_skeleton(
+        local1 = hetcor_skeleton(
             C, G0, N, th, 2, time_index=t_ix, ess_mode=ess_mode
         )
         with pytest.MonkeyPatch.context() as mp:
+            # disable the local-1 route -> dense sweep
+            mp.setattr(cupc, "L1_LOCAL_MAX_WIDTH", 0)
+            mp.setattr(cupc, "L1_LOCAL_COST_RATIO", 1 << 60)
+            dense = cupc.hetcor_skeleton(
+                C, G0, N, th, 2, time_index=t_ix, ess_mode=ess_mode
+            )
+            # additionally disable the dense sweep -> chunk enumeration
             mp.setattr(cupc, "DENSE_L1_MAX", 0)
             listp = cupc.hetcor_skeleton(
                 C, G0, N, th, 2, time_index=t_ix, ess_mode=ess_mode
             )
+        np.testing.assert_array_equal(local1.G, dense.G)
         np.testing.assert_array_equal(dense.G, listp.G)
 
 
