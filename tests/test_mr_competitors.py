@@ -217,6 +217,61 @@ class TestCause:
         assert fit.p_value > 0.1
         assert abs(fit.gamma_median) < 0.1
 
+    def test_null_z_contrast_is_calibrated(self):
+        """Calibration of the FIRST documented divergence (in-sample
+        posterior predictive in place of PSIS-LOO, `mr/cause.py:33-38`):
+        the in-sample elpd of the richer causal model is never worse, so
+        z <= 0 by construction and p <= 0.5 — the risk is
+        ANTI-conservatism. Across 12 null replicates the smallest p stays
+        well above 0.05 and the distribution is spread over (0, 1), i.e.
+        the substitution does not manufacture causal calls (the way
+        `test_mvivw_golden` pins the lmrob drift)."""
+        from cigwas_tpu.mr.cause import cause_fit
+
+        ps = [
+            cause_fit(*self._simulate(0.0, 0.0, 0.0, n_iv=120, seed=s)).p_value
+            for s in range(12)
+        ]
+        assert min(ps) > 0.05, f"anti-conservative null p: {sorted(ps)}"
+        assert 0.2 < float(np.median(ps)) < 0.9
+        assert max(ps) - min(ps) > 0.2  # spread, not collapsed to a point
+
+    def test_planted_gamma_sign_and_power(self):
+        """Sign/power contract on planted causal effects in both
+        directions: small p, correctly-signed posterior median (prior
+        shrinkage toward 0 is expected and bounded)."""
+        from cigwas_tpu.mr.cause import cause_fit
+
+        pos = cause_fit(*self._simulate(0.25, 0.0, 0.0, n_iv=200, seed=3))
+        assert pos.p_value < 0.05
+        assert 0.08 < pos.gamma_median < 0.45
+        neg = cause_fit(*self._simulate(-0.25, 0.0, 0.0, n_iv=200, seed=4))
+        assert neg.p_value < 0.05
+        assert -0.45 < neg.gamma_median < -0.08
+
+    def test_grid_refinement_stability(self, monkeypatch):
+        """Calibration of the SECOND documented divergence (fixed grid in
+        place of the R package's adaptive refinement, `mr/cause.py:35-38`):
+        doubling the gamma/eta and q grid resolutions moves the posterior
+        gamma median by less than the benchmark's reporting precision and
+        leaves the causal/sharing call unchanged."""
+        import cigwas_tpu.mr.cause as cause_mod
+        from cigwas_tpu.mr.cause import cause_fit
+
+        data_causal = self._simulate(0.25, 0.0, 0.0, n_iv=200, seed=3)
+        data_null = self._simulate(0.0, 0.0, 0.0, n_iv=120, seed=1)
+        coarse_c = cause_fit(*data_causal)
+        coarse_n = cause_fit(*data_null)
+        with pytest.MonkeyPatch.context() as mp:
+            mp.setattr(cause_mod, "C_GRID", np.linspace(-3.0, 3.0, 241))
+            mp.setattr(cause_mod, "Q_GRID", np.linspace(0.0, 1.0, 81))
+            fine_c = cause_fit(*data_causal)
+            fine_n = cause_fit(*data_null)
+        assert abs(fine_c.gamma_median - coarse_c.gamma_median) < 0.03
+        assert (fine_c.p_value < 0.05) == (coarse_c.p_value < 0.05)
+        assert abs(fine_n.gamma_median - coarse_n.gamma_median) < 0.03
+        assert (fine_n.p_value < 0.05) == (coarse_n.p_value < 0.05)
+
     def test_run_cause_analyses_rows(self):
         from cigwas_tpu.mr.cause import run_cause_analyses
 
