@@ -478,7 +478,7 @@ def _phase_block50k(result):
     """
     from cigwas_tpu.blocking import block_chr
     from cigwas_tpu.io.bed import encode_bed_values
-    from cigwas_tpu.ops.corr import banded_row_abs_sums, kendall_npn_corr_banded
+    from cigwas_tpu.ops.corr import banded_row_abs_sums_streaming
 
     m = int(os.environ.get("CIGWAS_BENCH_M50K", 50000))
     n = 8192
@@ -502,8 +502,7 @@ def _phase_block50k(result):
         bb[b0 : b0 + rows.shape[0]] = encode_bed_values(dose)
 
     def run():
-        band = kendall_npn_corr_banded(bb, n, corr_width)
-        sums = banded_row_abs_sums(band)
+        sums = banded_row_abs_sums_streaming(bb, n, corr_width)
         return block_chr(sums, 1, 11000)
 
     blocks = run()  # warmup/compile

@@ -678,6 +678,81 @@ def banded_row_abs_sums(band: np.ndarray) -> np.ndarray:
     return np.abs(band).sum(axis=1).astype(np.float32)
 
 
+@partial(jax.jit, static_argnames=("row_tile", "width", "n_chunks"))
+def _banded_tile_abs_sums(rows_bytes, cols_bytes, t0, m, row_tile: int,
+                          width: int, n_chunks: int):
+    """One banded tile reduced to its (row_tile,) |corr| row sums ON
+    DEVICE — the whole band never crosses the host link."""
+    counts = _kendall_counts_block(rows_bytes, cols_bytes, n_chunks)
+    corr = _kendall_from_counts(counts, row_tile, row_tile + width)
+    gather_ix = (
+        jnp.arange(1, width + 1)[None, :] + jnp.arange(row_tile)[:, None]
+    )
+    band = jnp.take_along_axis(
+        corr, jnp.minimum(gather_ix, corr.shape[1] - 1), axis=1
+    )
+    band = jnp.where(
+        ((t0 + gather_ix) >= m) | ~jnp.isfinite(band), 0.0, band
+    )
+    return jnp.abs(band).sum(axis=1)
+
+
+def banded_row_abs_sums_streaming(
+    bed_bytes,
+    num_samples: int,
+    corr_width: int,
+    row_tile: int = DEFAULT_ROW_TILE,
+    sample_chunk: int = DEFAULT_SAMPLE_CHUNK,
+) -> np.ndarray:
+    """`banded_row_abs_sums(kendall_npn_corr_banded(...))` with the band
+    reduced on device: each tile fetches (row_tile,) f32 instead of the
+    (row_tile, width) band (~33 MB/tile at the reference-default width —
+    the r5 chromosome-scale bench was fetch-bound through the relay).
+
+    The f32 row sums reduce in XLA's order instead of numpy's pairwise
+    order, so results can differ from the two-step host path by float
+    ulps; `make_blocks` uses this route only at chromosome scale (the
+    golden blocking fixtures pin the host path).
+    """
+    bed_bytes = np.asarray(bed_bytes, dtype=np.uint8)
+    m = bed_bytes.shape[0]
+    sample_chunk = min(sample_chunk, 4 * (((bed_bytes.shape[1] + 31) // 32) * 32))
+    padded, n_chunks = _prep_bytes(bed_bytes, num_samples, sample_chunk)
+    row_tile = min(row_tile, m)
+    # upload the chromosome ONCE (pad rows to a tile multiple plus the
+    # band width, so every tile slices the same device array — the
+    # two-step path re-uploads each overlapping column panel); pad rows
+    # decode to all-missing -> NaN corr -> masked to 0 below
+    mp = -(-m // row_tile) * row_tile
+    big = _pad_rows(padded, mp + corr_width, PAD_BYTE)[: mp + corr_width]
+    cols_all = _device_put_chunked(big)
+    B = int(cols_all.shape[1])
+    sums = np.zeros(m, dtype=np.float32)
+    pending = []
+
+    def drain():
+        for _, _, s_dev in pending:
+            s_dev.copy_to_host_async()
+        for t0, rt, s_dev in pending:
+            sums[t0 : t0 + rt] = np.asarray(s_dev)[:rt]
+        pending.clear()
+
+    for t0 in range(0, m, row_tile):
+        rt = min(row_tile, m - t0)
+        rows_b = jax.lax.dynamic_slice(cols_all, (t0, 0), (row_tile, B))
+        cols_b = jax.lax.dynamic_slice(
+            cols_all, (t0, 0), (row_tile + corr_width, B)
+        )
+        pending.append((t0, rt, _banded_tile_abs_sums(
+            rows_b, cols_b, jnp.int32(t0), jnp.int32(m), row_tile,
+            corr_width, n_chunks,
+        )))
+        if len(pending) >= 8:
+            drain()
+    drain()
+    return sums
+
+
 def pack_square_corr(
     marker_corr: np.ndarray, marker_phen: np.ndarray, phen_corr: np.ndarray
 ) -> np.ndarray:

@@ -222,6 +222,265 @@ def gather_apply(C, node_ixs, nbrs, deg, consumer, key, extra=(),
     )
 
 
+def _dyn_pair_sweep(Cb, qb, deg_x, t_hi, y_excl, ct: int):
+    """`pcorr._pair_sweep` with a DYNAMIC chunk bound: chunks whose t
+    range lies entirely past min(deg, t_hi) contribute only the RHO_BIG
+    sentinel, so skipping them is decision-identical — and per-node work
+    becomes proportional to the node's true degree instead of the bucket
+    width (the XLA route cannot do this profitably; inside a Mosaic
+    kernel the bound is a cheap scalar loop). Chunk rows are selected by
+    an exact one-hot dot (Mosaic cannot dynamic-slice values; a one-hot
+    f32 HIGHEST dot reproduces the rows bit-for-bit, the same argument as
+    the gather's selection matmuls)."""
+    from cigwas_tpu.ops import pcorr as pcorr_ops
+
+    d = Cb.shape[0]
+    t_cap = jnp.minimum(deg_x, t_hi)
+    n_chunks = (jnp.minimum(jnp.maximum(t_cap, 1), d) + (ct - 1)) // ct
+
+    def chunk(i, carry):
+        rho0, tp0, sp0 = carry
+        t0 = i * ct
+        # single-nonzero masked sums, NOT a one-hot dot: the panel carries
+        # deliberate NaNs and NaN * 0 would smear through a dot. The 3-D
+        # mask is built from 3-D iotas directly (reshaping an i1 vector is
+        # unsupported under Mosaic)
+        E3 = (
+            jax.lax.broadcasted_iota(jnp.int32, (ct, d, d), 1)
+            == t0 + jax.lax.broadcasted_iota(jnp.int32, (ct, d, d), 0)
+        )
+        Ct = jnp.sum(
+            jnp.where(E3, Cb[None, :, :], 0.0), axis=1
+        )  # (ct, d)
+        E = (
+            jax.lax.broadcasted_iota(jnp.int32, (ct, d), 1)
+            == t0 + jax.lax.broadcasted_iota(jnp.int32, (ct, d), 0)
+        )
+        qt = jnp.sum(jnp.where(E, qb[None, :], 0.0), axis=1)
+        rmin, tl, sl = pcorr_ops._pair_sweep_chunk(
+            Cb, qb, Ct, qt, deg_x, t_cap, y_excl, t0, ct
+        )
+        better = rmin < rho0
+        return (
+            jnp.where(better, rmin, rho0),
+            jnp.where(better, tl, tp0),
+            jnp.where(better, sl, sp0),
+        )
+
+    init = (
+        jnp.full((d,), pcorr_ops.RHO_BIG, jnp.float32),
+        jnp.zeros((d,), jnp.float32),
+        jnp.zeros((d,), jnp.float32),
+    )
+    # positions stay f32 (see _pair_sweep_chunk): exact, and int32
+    # sublane vectors miscompile on the kernel's output relayout
+    return jax.lax.fori_loop(0, n_chunks, chunk, init)
+
+
+def _sweep_kernel(sc_ref, nbr_ref, C_hbm, rho_ref, pos_ref, win_buf, sem,
+                  *, d: int, W: int, l: int, ct: int):
+    """Windowed gather + level-l local sweep fused in ONE kernel: the
+    (d, d) local panel never leaves VMEM and one launch covers a whole
+    degree bucket (the XLA route's LOCAL_ELEM_BUDGET tile cap forced ~22
+    launches per level at the 11k block — launch issue on the remote
+    relay, not compute, was the deep-level wall; VERDICT r4 #2)."""
+    from cigwas_tpu.ops import pcorr as pcorr_ops
+
+    i = pl.program_id(0)
+    nt = pl.num_programs(0)
+
+    def win_dma(slot, node):
+        b = pl.multiple_of(sc_ref[0, node], 128)
+        return pltpu.make_async_copy(
+            C_hbm.at[pl.ds(b, W), pl.ds(b, W)], win_buf.at[slot], sem.at[slot]
+        )
+
+    @pl.when(i == 0)
+    def _():
+        win_dma(0, 0).start()
+
+    @pl.when(i + 1 < nt)
+    def _():
+        win_dma((i + 1) % 2, i + 1).start()
+
+    nbr = nbr_ref[0, 0, :d]
+    rowix = nbr_ref[0, 1, :]
+    b = pl.multiple_of(sc_ref[0, i], 128)
+    l_ids_r = jax.lax.broadcasted_iota(jnp.int32, (d + 8, W), 1) + b
+    R = (l_ids_r == rowix[:, None]).astype(jnp.float32)
+    l_ids_c = jax.lax.broadcasted_iota(jnp.int32, (W, d), 0) + b
+    S = (l_ids_c == nbr[None, :]).astype(jnp.float32)
+
+    win_dma(i % 2, i).wait()
+    win = win_buf[i % 2]
+    isn = jnp.isnan(win)
+    hi = jax.lax.Precision.HIGHEST
+    t_val = jnp.dot(R, jnp.where(isn, 0.0, win), precision=hi,
+                    preferred_element_type=jnp.float32)
+    t_nan = jnp.dot(R, isn.astype(jnp.float32), precision=hi,
+                    preferred_element_type=jnp.float32)
+    val = jnp.dot(t_val, S, precision=hi, preferred_element_type=jnp.float32)
+    nan = jnp.dot(t_nan, S, precision=hi, preferred_element_type=jnp.float32)
+    out = jnp.where(nan > 0.5, jnp.float32(jnp.nan), val)
+    Cb = out[:d]
+    qb = out[d]
+    deg_i = sc_ref[1, i]
+
+    if l == 1:
+        # single-conditioning sweep, the in-kernel form of
+        # `level1_local_sweep_pre` (same pre-scaled expression; masked-iota
+        # min = its argmin): rho[s, y] = |c_xy R_xs R_ys - P_xs P_ys|.
+        # Index tensors are broadcasted_iota (a 1-D arange reshaped onto
+        # sublanes miscompiles under Mosaic — measured all-zero positions)
+        from cigwas_tpu.ops import pcorr as pcorr_ops
+
+        s_i2 = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0)
+        y_i2 = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1)
+        Rc = jax.lax.rsqrt(jnp.abs(1.0 - Cb * Cb))  # (s, y)
+        Pc = Cb * Rc
+        Rq = jax.lax.rsqrt(jnp.abs(1.0 - qb * qb))  # (s,)
+        Pq = qb * Rq
+        rho2 = jnp.abs(qb[None, :] * (Rq[:, None] * Rc) - Pq[:, None] * Pc)
+        bad = (s_i2 >= deg_i) | (s_i2 == y_i2)
+        rho2 = jnp.where(bad | ~jnp.isfinite(rho2), pcorr_ops.RHO_BIG, rho2)
+        rho_k = jnp.min(rho2, axis=0, keepdims=True)  # (1, y)
+        # f32 iota min: int32 sublane-axis min reductions miscompile under
+        # Mosaic (measured all-zero positions); f32 is exact here
+        pos = jnp.min(
+            jnp.where(rho2 == rho_k, s_i2.astype(jnp.float32),
+                      jnp.float32(d)), axis=0
+        )
+        rho_ref[0, 0] = rho_k[0]
+        pos_ref[0, 0] = pos
+    elif l == 2:
+        rho, tp, sp = _dyn_pair_sweep(
+            Cb, qb, deg_i, jnp.int32(d), jnp.int32(d), ct
+        )
+        rho_ref[0, 0] = rho
+        pos_ref[0, 0] = sp
+        pos_ref[0, 1] = tp
+    else:
+        def outer(u, carry):
+            rho0, p3, p2, p1 = carry
+            # row u of the panel via an exact single-nonzero masked sum
+            # (no dynamic value indexing under Mosaic)
+            row_oh = (
+                jax.lax.broadcasted_iota(jnp.int32, (d, d), 0) == u
+            )
+            cu = jnp.sum(jnp.where(row_oh, Cb, 0.0), axis=0)  # (d,)
+            qu = jnp.sum(
+                jnp.where(
+                    jax.lax.broadcasted_iota(jnp.int32, (1, d), 1) == u,
+                    qb[None, :], 0.0,
+                )
+            )
+            Ru = jax.lax.rsqrt(jnp.abs(1.0 - cu * cu))
+            T1 = (Cb - cu[:, None] * cu[None, :]) * (Ru[:, None] * Ru[None, :])
+            q1 = (qb - qu * cu) * (jax.lax.rsqrt(jnp.abs(1.0 - qu * qu)) * Ru)
+            rmin, tb, sb = _dyn_pair_sweep(T1, q1, deg_i, u, u, ct)
+            better = (rmin < rho0) & (u < deg_i)
+            return (
+                jnp.where(better, rmin, rho0),
+                jnp.where(better, u.astype(jnp.float32), p3),
+                jnp.where(better, tb, p2),
+                jnp.where(better, sb, p1),
+            )
+
+        from cigwas_tpu.ops import pcorr as pcorr_ops
+        init = (
+            jnp.full((d,), pcorr_ops.RHO_BIG, jnp.float32),
+            jnp.zeros((d,), jnp.float32),
+            jnp.zeros((d,), jnp.float32),
+            jnp.zeros((d,), jnp.float32),
+        )
+        # dynamic bound: u >= deg contributes nothing (masked by `better`)
+        rho, p3, p2, p1 = jax.lax.fori_loop(
+            2, jnp.maximum(jnp.minimum(deg_i, d), 2), outer, init
+        )
+        rho_ref[0, 0] = rho
+        pos_ref[0, 0] = p1
+        pos_ref[0, 1] = p2
+        pos_ref[0, 2] = p3
+
+
+def _sweep_core(C, scalars, rowix, nbrs2, W: int, l: int, ct: int,
+                interpret: bool):
+    nt = scalars.shape[1]
+    d = nbrs2.shape[-1] - 8
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, 2, d + 8), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, d), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l, d), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, W, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    rho, pos = pl.pallas_call(
+        partial(_sweep_kernel, d=d, W=W, l=l, ct=ct),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((nt, 1, d), jnp.float32),
+            # positions lane-major (l rows of d lanes) and f32: writing a
+            # lane vector onto sublanes relayouts it and int32 relayouts
+            # miscompile under Mosaic; the transpose + int cast run in XLA
+            jax.ShapeDtypeStruct((nt, l, d), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(scalars, jnp.stack([nbrs2, rowix], axis=1), C)
+    # positions stay f32 out of here (exact); the packers below keep them
+    # f32 — bitcasting to int32 and back creates denormals the TPU
+    # flushes to zero in fused layout ops
+    return rho[:, 0, :], jnp.transpose(pos, (0, 2, 1))
+
+
+_SWEEP_CACHE: dict = {}
+
+
+def sweep_apply(C, node_ixs, nbrs, deg, l: int, ct: int, rho_threshold,
+                want_rho: bool, interpret: bool = False):
+    """Fused gather+sweep launch for one (bucket) node set; outputs match
+    `_run_level_local`'s fetch formats exactly: the `_pack_rho_pos`
+    packed array when want_rho, else the lean (hit bits, uint8 positions)
+    pair (d <= 256 only; the caller guards). Returns None when no window
+    plan exists (caller falls back to the XLA route)."""
+    plan = _plan_inputs(C, node_ixs, nbrs, deg)
+    if plan is None:
+        return None
+    base, W, rowix, nbrs2 = plan
+    nt, d = np.asarray(nbrs).shape
+    lean = (not want_rho) and d <= 256
+    cache_key = ("sweep", l, ct, W, d, nt, lean, interpret)
+    fn = _SWEEP_CACHE.get(cache_key)
+    if fn is None:
+        def fused(C_, scalars_, rowix_, nbrs2_, rho_th_):
+            rho, pos = _sweep_core(C_, scalars_, rowix_, nbrs2_, W, l, ct,
+                                   interpret)
+            if lean:
+                hit = jnp.packbits(rho < rho_th_, axis=1)
+                return hit, pos.astype(jnp.uint8)
+            return jnp.concatenate([rho[:, :, None], pos], axis=2)
+
+        fn = jax.jit(fused)
+        _SWEEP_CACHE[cache_key] = fn
+    scalars = np.stack([base, np.asarray(deg, np.int32)], axis=0)
+    return fn(
+        C, jnp.asarray(scalars), jnp.asarray(rowix), jnp.asarray(nbrs2),
+        jnp.float32(rho_threshold),
+    )
+
+
 def gather_local_panels(C, node_ixs, nbrs, deg, interpret: bool = False):
     """(Cb (nt, d, d), qb (nt, d)) via the windowed DMA gather — VALID
     entries (j < deg) bit-identical to the XLA gathers

@@ -241,6 +241,74 @@ def level_scan_minrho_pre(C_x, c_row, deg, combos_seq, left_seq, l: int):
     return rho_min, rank
 
 
+def _pair_sweep_chunk(Cb, qb, Ct, qt, deg_x, t_cap, y_excl, t0, ct: int):
+    """One t-chunk of the pair sweep (the loop body of :func:`_pair_sweep`,
+    shared VERBATIM with the Pallas fused gather+sweep kernel so the two
+    routes run identical arithmetic). Ct/qt are the caller's chunk rows
+    (dynamic_slice on the XLA route; an exact one-hot selection inside the
+    Mosaic kernel, which cannot dynamic-slice values). All index tensors
+    are broadcasted_iota and reductions keep dims — 1-D iota reshaped onto
+    sublanes miscompiles under Mosaic (measured: every position came back
+    0), and this form is bit-identical under XLA."""
+    d = Cb.shape[0]
+    Rt = jax.lax.rsqrt(jnp.abs(1.0 - Ct * Ct))  # (t, s)
+    # first conditioning step: everything given B u {t}
+    q2 = (qb[None, :] - qt[:, None] * Ct) * (
+        jax.lax.rsqrt(jnp.abs(1.0 - qt * qt))[:, None] * Rt
+    )  # (t, b) = pcorr(x, b | B u {t})
+    CtT = Ct.T  # (y, t)
+    RtT = Rt.T
+    T2 = (Cb[:, None, :] - CtT[:, :, None] * Ct[None, :, :]) * (
+        RtT[:, :, None] * Rt[None, :, :]
+    )  # (y, t, s) = pcorr(y, s | B u {t})
+    # second step: rho_{xy | B u {t, s}}
+    rho = jnp.abs(q2.T[:, :, None] - q2[None, :, :] * T2) * (
+        jax.lax.rsqrt(jnp.abs(1.0 - q2 * q2))[None, :, :]
+        * jax.lax.rsqrt(jnp.abs(1.0 - T2 * T2))
+    )  # (y, t, s)
+    y_i3 = jax.lax.broadcasted_iota(jnp.int32, (d, ct, d), 0)
+    t_i3 = jax.lax.broadcasted_iota(jnp.int32, (d, ct, d), 1) + t0
+    s_i3 = jax.lax.broadcasted_iota(jnp.int32, (d, ct, d), 2)
+    bad = (
+        (s_i3 >= t_i3)  # s < t
+        | (t_i3 >= t_cap)
+        | (y_i3 >= deg_x)  # y live
+        | (y_i3 == s_i3)
+        | (y_i3 == t_i3)
+        | (y_i3 == y_excl)
+    )
+    rho = jnp.where(bad | ~jnp.isfinite(rho), RHO_BIG, rho)
+    # axis-wise reductions (never reshape the cube: XLA fuses a
+    # producer into a plain reduce, but not through a reshape — the
+    # reshape forces the (y, t, s) tensor to materialize in HBM).
+    # Index extraction via masked-iota mins instead of argmin +
+    # take_along_axis: bit-identical (min of a masked iota IS the
+    # first-occurrence argmin, and the keepdims min is an exact element
+    # of the reduced axis so the equality compare is exact). The iota
+    # mins run in f32 — exact for indices << 2^24, and int32 min
+    # reductions over the sublane axis miscompile under Mosaic (measured
+    # all-zero positions) while f32 mins are correct.
+    rho_s = jnp.min(rho, axis=2, keepdims=True)  # (y, t, 1)
+    s_f3 = s_i3.astype(jnp.float32)
+    am_s = jnp.min(
+        jnp.where(rho == rho_s, s_f3, jnp.float32(d)), axis=2
+    )  # (y, t) smallest minimizing s
+    rho_s = rho_s[:, :, 0]  # (y, t)
+    rmin_k = jnp.min(rho_s, axis=1, keepdims=True)  # (y, 1)
+    # int iota cast to f32: Mosaic has no float iota
+    t_f2 = jax.lax.broadcasted_iota(jnp.int32, (d, ct), 1).astype(jnp.float32)
+    am_t = jnp.min(
+        jnp.where(rho_s == rmin_k, t_f2, jnp.float32(ct)), axis=1
+    )  # smallest minimizing t (chunk-local)
+    sl = jnp.min(
+        jnp.where(t_f2 == am_t[:, None], am_s, jnp.float32(d)), axis=1
+    )
+    # positions stay f32 (exact for indices << 2^24) all the way out of
+    # the Mosaic kernel: int32 sublane-resident vectors miscompile on the
+    # relayouting output write; callers cast once outside
+    return rmin_k[:, 0], am_t + t0, sl
+
+
 def _pair_sweep(Cb, qb, deg_x, t_hi, y_excl, ct: int):
     """Min |rho_{xy|base u {s,t}}| over pairs s < t, per neighbour slot y.
 
@@ -270,54 +338,22 @@ def _pair_sweep(Cb, qb, deg_x, t_hi, y_excl, ct: int):
     neighbour list (int32).
     """
     d = Cb.shape[0]
-    s_ix = jnp.arange(d)
     t_cap = jnp.minimum(deg_x, t_hi)
 
-    def chunk_fn(t0):
-        Ct = jax.lax.dynamic_slice(Cb, (t0, 0), (ct, d))  # (t, s)
+    def sliced_chunk(t0):
+        Ct = jax.lax.dynamic_slice(Cb, (t0, 0), (ct, d))
         qt = jax.lax.dynamic_slice(qb, (t0,), (ct,))
-        Rt = jax.lax.rsqrt(jnp.abs(1.0 - Ct * Ct))  # (t, s)
-        # first conditioning step: everything given B u {t}
-        q2 = (qb[None, :] - qt[:, None] * Ct) * (
-            jax.lax.rsqrt(jnp.abs(1.0 - qt * qt))[:, None] * Rt
-        )  # (t, b) = pcorr(x, b | B u {t})
-        CtT = Ct.T  # (y, t)
-        RtT = Rt.T
-        T2 = (Cb[:, None, :] - CtT[:, :, None] * Ct[None, :, :]) * (
-            RtT[:, :, None] * Rt[None, :, :]
-        )  # (y, t, s) = pcorr(y, s | B u {t})
-        # second step: rho_{xy | B u {t, s}}
-        rho = jnp.abs(q2.T[:, :, None] - q2[None, :, :] * T2) * (
-            jax.lax.rsqrt(jnp.abs(1.0 - q2 * q2))[None, :, :]
-            * jax.lax.rsqrt(jnp.abs(1.0 - T2 * T2))
-        )  # (y, t, s)
-        t_glob = t0 + jnp.arange(ct)
-        bad = (
-            (s_ix[None, None, :] >= t_glob[None, :, None])  # s < t
-            | (t_glob[None, :, None] >= t_cap)
-            | (s_ix[:, None, None] >= deg_x)  # y live
-            | (s_ix[:, None, None] == s_ix[None, None, :])  # y == s
-            | (s_ix[:, None, None] == t_glob[None, :, None])  # y == t
-            | (s_ix[:, None, None] == y_excl)
-        )
-        rho = jnp.where(bad | ~jnp.isfinite(rho), RHO_BIG, rho)
-        # axis-wise reductions (never reshape the cube: XLA fuses a
-        # producer into a plain reduce, but not through a reshape — the
-        # reshape forces the (y, t, s) tensor to materialize in HBM)
-        rho_s = jnp.min(rho, axis=2)  # (y, t)
-        am_s = jnp.argmin(rho, axis=2).astype(jnp.int32)  # (y, t)
-        rmin = jnp.min(rho_s, axis=1)  # (y,)
-        am_t = jnp.argmin(rho_s, axis=1)  # (y,) first occurrence = smallest t
-        sl = jnp.take_along_axis(am_s, am_t[:, None], axis=1)[:, 0]
-        return rmin, t0 + am_t.astype(jnp.int32), sl
+        return _pair_sweep_chunk(Cb, qb, Ct, qt, deg_x, t_cap, y_excl,
+                                 t0, ct)
 
     if ct == d:
         # single chunk: no loop at all
-        return chunk_fn(0)
+        r0, tp0, sp0 = sliced_chunk(0)
+        return r0, tp0.astype(jnp.int32), sp0.astype(jnp.int32)
 
     def chunk(i, carry):
         rho0, tp0, sp0 = carry
-        rmin, tl, sl = chunk_fn(i * ct)
+        rmin, tl, sl = sliced_chunk(i * ct)
         # strict < with t ascending across chunks + first-occurrence argmin
         # within a chunk selects the lowest colex rank among ties
         better = rmin < rho0
@@ -329,10 +365,11 @@ def _pair_sweep(Cb, qb, deg_x, t_hi, y_excl, ct: int):
 
     init = (
         jnp.full((d,), RHO_BIG, jnp.float32),
-        jnp.zeros((d,), jnp.int32),
-        jnp.zeros((d,), jnp.int32),
+        jnp.zeros((d,), jnp.float32),
+        jnp.zeros((d,), jnp.float32),
     )
-    return jax.lax.fori_loop(0, d // ct, chunk, init)
+    rho, tp, sp = jax.lax.fori_loop(0, d // ct, chunk, init)
+    return rho, tp.astype(jnp.int32), sp.astype(jnp.int32)
 
 
 @jax.jit

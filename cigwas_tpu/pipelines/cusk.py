@@ -69,8 +69,19 @@ def make_blocks(
         chr_bed = read_chr_from_bed(bfiles.bed(), cid, bim, dims)
         if verbose:
             print(f"[chr {cid}] computing banded correlations")
-        band = banded(chr_bed, dims.num_samples, corr_width)
-        row_sums = banded_row_abs_sums(band)
+        if mesh is None and chr_bed.shape[0] > 16384:
+            # chromosome scale: reduce the band to row sums ON DEVICE —
+            # fetching the full band through the relay dominated the 50k
+            # wall (see banded_row_abs_sums_streaming; float-ulp summation
+            # differences vs the host path documented there)
+            from cigwas_tpu.ops.corr import banded_row_abs_sums_streaming
+
+            row_sums = banded_row_abs_sums_streaming(
+                chr_bed, dims.num_samples, corr_width
+            )
+        else:
+            band = banded(chr_bed, dims.num_samples, corr_width)
+            row_sums = banded_row_abs_sums(band)
         blocks = block_chr(row_sums, cid, max_block_size)
         if verbose:
             print(f"[chr {cid}] partitioned into {len(blocks)} blocks")

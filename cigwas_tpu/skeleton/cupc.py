@@ -199,6 +199,53 @@ def _l1_route_local(deg: np.ndarray, vp: int) -> bool:
 # level >= 2 kernels: "auto" routes through it on TPU when the shapes
 # qualify, "1" forces it (interpreted off-TPU), "0" disables
 PALLAS_GATHER = os.environ.get("CIGWAS_PALLAS_GATHER", "auto")
+# Pallas FUSED gather+sweep (one launch per degree bucket, the sweep in
+# VMEM): same flag semantics; takes precedence over the gather+consumer
+# route when it applies
+PALLAS_SWEEP = os.environ.get("CIGWAS_PALLAS_SWEEP", "auto")
+# chunk-cube budget (floats) of the in-kernel pair sweep: (ct, d, d)
+# intermediates live in VMEM
+SWEEP_CUBE_BUDGET = 1 << int(os.environ.get("CIGWAS_SWEEP_CUBE_LOG2", 19))
+
+
+def _pallas_sweep_route(C_dev, d_pad: int):
+    """None if the fused gather+sweep kernel should not be used, else the
+    `sweep_apply` callable (which itself returns None per launch when a
+    neighbour span exceeds the window cap)."""
+    if PALLAS_SWEEP == "0":
+        return None
+    from cigwas_tpu.ops.pallas import panel_gather as pg
+
+    vp = int(C_dev.shape[0])
+    if vp % 128 or d_pad < 32 or d_pad > 256:
+        # >256 would need a >8 MB chunk cube at the minimum ct=8; those
+        # hub buckets are rare and take the gather/XLA route
+        return None
+    if PALLAS_SWEEP == "1":
+        try:
+            on_tpu = next(iter(C_dev.devices())).platform == "tpu"
+        except Exception:
+            on_tpu = False
+        return partial(pg.sweep_apply, interpret=not on_tpu)
+    if PALLAS_SWEEP != "auto":
+        return None
+    try:
+        if next(iter(C_dev.devices())).platform != "tpu":
+            return None
+    except Exception:
+        return None
+    return pg.sweep_apply
+
+
+def _sweep_ct(d_pad: int) -> int:
+    """Largest multiple-of-8 divisor of d_pad whose (ct, d, d) chunk cube
+    fits SWEEP_CUBE_BUDGET floats (min 8)."""
+    ct = 8
+    for c in range(d_pad, 7, -8):
+        if d_pad % c == 0 and c * d_pad * d_pad <= SWEEP_CUBE_BUDGET:
+            ct = c
+            break
+    return ct
 
 
 def _pallas_gather_route(C_dev, d_pad: int):
@@ -429,13 +476,16 @@ def _run_level_local1(
     G: np.ndarray,
     rho_threshold: float,
     verbose: bool = False,
+    want_rho: bool = True,
 ):
     """Level 1 via the neighbour-list local sweep (lanes layout).
 
     Same candidate set and tie-breaking as `_run_level_dense1`, at
     sum(deg^2) cost instead of v^3 — the winning route whenever the level-1
     max degree is small against the panel (the caller gates on it). Returns
-    (removed, (xs, ys, s_sel, rho_sel)) in the dense route's format.
+    (removed, (xs, ys, s_sel, rho_sel)) in the dense route's format
+    (rho_sel None when want_rho=False — the production want_pmax=False
+    path, which then rides the lean hit-bits fetch).
     """
     n = G.shape[0]
     Gb = G.astype(bool)
@@ -475,6 +525,11 @@ def _run_level_local1(
               deg_all, nodes_grp, 1
           ):
             gather = _pallas_gather_route(C_dev, d_pad) if grp_gather else None
+            sweepfn = _pallas_sweep_route(C_dev, d_pad) if grp_gather else None
+            if sweepfn is not None:
+                # fused-kernel launches cover the whole bucket (see
+                # _run_level_local): per-grid-step VMEM is bounded
+                node_tile = _next_pow2(len(nodes))
             for s0 in range(0, len(nodes), node_tile):
                 tile = nodes[s0 : s0 + node_tile]
                 pad = node_tile - len(tile)
@@ -484,6 +539,14 @@ def _run_level_local1(
                     else tile
                 )
                 nbrs, deg = _compact_neighbors(Gb, tile_p, d_pad)
+                if sweepfn is not None:
+                    got = sweepfn(
+                        C_dev, tile_p, nbrs, deg, 1, 8, rho_threshold,
+                        want_rho,
+                    )
+                    if got is not None:
+                        pending.append((tile, nbrs, deg, got, None))
+                        continue
                 got = (
                     gather(
                         C_dev, tile_p, nbrs, deg,
@@ -502,20 +565,37 @@ def _run_level_local1(
                     )
                 pending.append((tile, nbrs, deg, rho_dev, pos_dev))
         for _, _, _, rho_dev, pos_dev in pending:
-            rho_dev.copy_to_host_async()
-            pos_dev.copy_to_host_async()
+            if isinstance(rho_dev, tuple):
+                for h in rho_dev:
+                    h.copy_to_host_async()
+            else:
+                rho_dev.copy_to_host_async()
+            if pos_dev is not None:
+                pos_dev.copy_to_host_async()
         for tile, nbrs, deg, rho_dev, pos_dev in pending:
-            rho_c = np.asarray(rho_dev)
-            pos_c = np.asarray(pos_dev)
             nt_real = len(tile)
             d_pad = nbrs.shape[1]
             valid = np.arange(d_pad)[None, :] < deg[:nt_real, None]
-            hit = valid & (rho_c[:nt_real] < np.float32(rho_threshold))
+            if isinstance(rho_dev, tuple):  # lean fused-sweep fetch
+                hit_bits, pos_u8 = rho_dev
+                hit = valid & np.unpackbits(
+                    np.asarray(hit_bits), axis=1, count=d_pad
+                ).astype(bool)[:nt_real]
+                pos_c = np.asarray(pos_u8)[:, :, 0].astype(np.int32)
+                rho_c = None
+            elif pos_dev is None:  # packed fused-sweep fetch
+                rho_c, pos_c = _unpack_rho_pos(np.asarray(rho_dev))
+                hit = valid & (rho_c[:nt_real] < np.float32(rho_threshold))
+            else:
+                rho_c = np.asarray(rho_dev)
+                pos_c = np.asarray(pos_dev)
+                hit = valid & (rho_c[:nt_real] < np.float32(rho_threshold))
             ri, ci = np.nonzero(hit)
             xs_l.append(tile[ri])
             ys_l.append(nbrs[ri, ci])
             s_l.append(nbrs[ri, pos_c[ri, ci]])
-            rho_l.append(rho_c[ri, ci])
+            if rho_c is not None:
+                rho_l.append(rho_c[ri, ci])
         if verbose:
             print(f"[level 1] local-sweep launches: {len(pending)}")
     xs = np.concatenate(xs_l) if xs_l else np.empty(0, np.int64)
@@ -528,16 +608,21 @@ def _run_level_local1(
     return removed, (
         xs, ys,
         np.concatenate(s_l) if s_l else np.empty(0, np.int32),
-        np.concatenate(rho_l) if rho_l else np.empty(0, np.float32),
+        (np.concatenate(rho_l) if rho_l else np.empty(0, np.float32))
+        if want_rho else None,
     )
 
 
 def _pack_rho_pos(rho, pos):
     """(rho (nt, d) f32, pos (nt, d[, l]) int32) -> one (nt, d, 1+l) f32
-    array (positions bitcast); ONE host fetch instead of two."""
+    array; ONE host fetch instead of two. Positions ride as PLAIN f32
+    VALUES (exact for indices << 2^24) — a bitcast packs small ints as
+    f32 denormals, which the TPU flushes to zero in fused layout ops
+    (measured: all-zero sepset positions out of the fused sweep kernel).
+    """
     if pos.ndim == 2:
         pos = pos[:, :, None]
-    pos_f = jax.lax.bitcast_convert_type(pos.astype(jnp.int32), jnp.float32)
+    pos_f = pos.astype(jnp.float32)
     return jnp.concatenate([rho[:, :, None], pos_f], axis=2)
 
 
@@ -554,7 +639,7 @@ def _pack_hits_pos(rho, pos, rho_th):
 
 def _unpack_rho_pos(packed: np.ndarray):
     rho = packed[:, :, 0]
-    pos = np.ascontiguousarray(packed[:, :, 1:]).view(np.int32)
+    pos = packed[:, :, 1:].astype(np.int32)
     if pos.shape[-1] == 1:
         pos = pos[:, :, 0]
     return rho, pos
@@ -660,6 +745,17 @@ def _run_level_local(
             _pallas_gather_route(C_dev, d_pad)
             if engine is None and grp_gather else None
         )
+        sweepfn = (
+            _pallas_sweep_route(C_dev, d_pad)
+            if engine is None and grp_gather else None
+        )
+        if sweepfn is not None:
+            # fused-kernel launches cover the WHOLE bucket: per-grid-step
+            # VMEM is bounded, so the XLA fusion-budget tile cap does not
+            # apply (nt pow2-bucketed for the jit cache; dup-node results
+            # are discarded by the [:nt_real] slice at fetch)
+            node_tile = _next_pow2(len(nodes))
+            ct = _sweep_ct(d_pad)
         if engine is not None:
             # BYTE-IDENTITY INVARIANT: XLA's fused elementwise numerics for
             # the local sweeps depend on the batch (node-tile) shape, so the
@@ -685,6 +781,18 @@ def _run_level_local(
                 else tile
             )
             nbrs, deg = _compact_neighbors(Gb, tile_p, d_pad)
+            if sweepfn is not None:
+                got = sweepfn(
+                    C_dev, tile_p, nbrs, deg, l, ct, rho_threshold, want_rho
+                )
+                if got is not None:
+                    # packed rho+pos array, or the lean (hits, u8) pair —
+                    # both ride the existing fetch paths below
+                    pending.append((tile, nbrs, deg, got, None))
+                    continue
+                if stats is not None:
+                    det = stats.setdefault("level_detail", {}).setdefault(l, {})
+                    det["sweep_fallback"] = det.get("sweep_fallback", 0) + 1
             # windowed DMA gather fused WITH the sweep into one dispatch
             # (`*_local_sweep_pre` on bit-identical local panels — see
             # ops/pallas/panel_gather.gather_apply); rho and the int32
@@ -1350,7 +1458,8 @@ def skeleton(
         if l1_local_now or (l == 1 and (pre_l1 is not None or n <= DENSE_L1_MAX)):
             if l1_local_now:
                 removed, (xs, ys, s_sel, rho_sel) = _run_level_local1(
-                    C_dev, G, rho_th, verbose=verbose
+                    C_dev, G, rho_th, verbose=verbose,
+                    want_rho=pmax is not None,
                 )
             elif engine is not None:
                 removed, (xs, ys, s_sel, rho_sel) = _run_level_dense1_engine(
@@ -1486,7 +1595,14 @@ def hetcor_skeleton(
     G &= ~delete0
     np.fill_diagonal(G, False)
 
-    put = engine.put_panel if engine is not None else jnp.asarray
+    if engine is not None:
+        put = engine.put_panel
+    else:
+        # chunked uploads: one monolithic device_put of a ~400 MB panel
+        # stalls the remote relay for tens of seconds (CLAUDE.md) — the
+        # r5 cuskss bench measured 31 s of level-1 "wall" that was really
+        # the first launch syncing behind the C+N uploads
+        from cigwas_tpu.ops.corr import _device_put_chunked as put
     C_dev = put(C)
     if ess_mode == "reference":
         # NaN-free N makes the kernels' NaN masks all-false, i.e. every pair

@@ -216,3 +216,27 @@ def test_corr_panel_device_tiled_matches_fused_panel():
         np.asarray(C_f)[:v_f, :v_f], np.asarray(C_t)[:v_t, :v_t],
         rtol=0, atol=2e-6,
     )
+
+
+def test_banded_row_abs_sums_streaming_matches_two_step():
+    """The on-device band reduction must match the two-step
+    band-then-host-sum path up to float summation order (it feeds the
+    same Hanning smoother; `corr_host.cu:112-128`)."""
+    from cigwas_tpu.io.bed import encode_bed_values
+    from cigwas_tpu.ops.corr import (
+        banded_row_abs_sums,
+        banded_row_abs_sums_streaming,
+        kendall_npn_corr_banded,
+    )
+
+    rng = np.random.default_rng(3)
+    m, n, w = 300, 512, 40
+    maf = rng.uniform(0.1, 0.5, m)
+    dose = (rng.random((m, n)) < maf[:, None]).astype(np.float32) + (
+        rng.random((m, n)) < maf[:, None]
+    )
+    bb = encode_bed_values(dose)
+    band = kendall_npn_corr_banded(bb, n, w, row_tile=128)
+    two_step = banded_row_abs_sums(band)
+    streaming = banded_row_abs_sums_streaming(bb, n, w, row_tile=128)
+    np.testing.assert_allclose(streaming, two_step, rtol=2e-5, atol=1e-4)

@@ -199,6 +199,7 @@ def test_skeleton_route_parity_pallas_gather(monkeypatch):
     # force the host loop (not the device-resident loop) so the gather
     # route is reachable, then compare both gather settings
     monkeypatch.setattr(cupc, "DEV_RESIDENT_MAX", 0)
+    monkeypatch.setattr(cupc, "PALLAS_SWEEP", "0")
     results = {}
     for flag in ("0", "1"):
         monkeypatch.setattr(cupc, "PALLAS_GATHER", flag)
@@ -210,3 +211,42 @@ def test_skeleton_route_parity_pallas_gather(monkeypatch):
     assert a.final_level == b.final_level
     assert np.array_equal(a.G, b.G)
     assert np.array_equal(a.sepset, b.sepset)
+
+
+@pytest.mark.parametrize("want_pmax", [False, True])
+def test_skeleton_route_parity_pallas_fused_sweep(monkeypatch, want_pmax):
+    """skeleton() with the FUSED gather+sweep kernel forced (interpret
+    mode on CPU) matches the XLA route exactly — the kernel runs the
+    shared `_pair_sweep_chunk` arithmetic on bit-identical gathered
+    panels, with per-node dynamic chunk bounds that skip only fully
+    masked work (VERDICT r4 #2)."""
+    from cigwas_tpu.skeleton import cupc
+    from cigwas_tpu.utils.stats import threshold_array
+
+    rng = np.random.default_rng(5)
+    v, n = 96, 900
+    L = rng.normal(size=(v, n))
+    for i in range(1, v):
+        L[i] = 0.92 * L[i - 1] + np.sqrt(1 - 0.92**2) * L[i]
+    C = np.corrcoef(L).astype(np.float32)
+    vp = 128
+    Cp = np.zeros((vp, vp), np.float32)
+    Cp[:v, :v] = C
+    np.fill_diagonal(Cp, 1.0)
+    th = threshold_array(n, 1e-2)
+
+    monkeypatch.setattr(cupc, "DEV_RESIDENT_MAX", 0)
+    monkeypatch.setattr(cupc, "PALLAS_GATHER", "0")
+    results = {}
+    for flag in ("0", "1"):
+        monkeypatch.setattr(cupc, "PALLAS_SWEEP", flag)
+        results[flag] = cupc.skeleton(
+            jnp.asarray(Cp), th, 5, n_var=v, want_pmax=want_pmax
+        )
+    a, b = results["0"], results["1"]
+    assert a.final_level >= 2
+    assert a.final_level == b.final_level
+    assert np.array_equal(a.G, b.G)
+    assert np.array_equal(a.sepset, b.sepset)
+    if want_pmax:
+        assert np.array_equal(a.pmax, b.pmax)
