@@ -431,10 +431,25 @@ def _phase_cuskss(result):
     np.fill_diagonal(pp_ess, n_gwas)  # rho=1 diagonal has no defined SE
     sq_ess[m:, m:] = pp_ess
     th = hetcor_threshold(1e-4)
+    # stage the panels on device ONCE (chunked; timed separately): the
+    # TPU-native cuskss flow keeps the summary-stat panels device-resident
+    # — re-uploading ~800 MB through the relay per run dominated the first
+    # r5 measurement (~30 s of "level-1 wall" that was transfer)
+    import jax
+    import jax.numpy as jnp
+
+    from cigwas_tpu.ops.corr import _device_put_chunked
+
+    t0 = time.perf_counter()
+    C_dev = _device_put_chunked(sq_corrs)
+    N_dev = _device_put_chunked(sq_ess)
+    float(jnp.asarray(C_dev[0, 0]))
+    float(jnp.asarray(N_dev[0, 0]))
+    result["cuskss_upload_s"] = round(time.perf_counter() - t0, 2)
     gc0 = ReducedGC(
         num_var=v, num_phen=p, max_level=3,
         new_to_old_indices=np.arange(v, dtype=np.int32),
-        G=np.ones((v, v), dtype=np.int32), C=sq_corrs, S=sq_ess,
+        G=np.ones((v, v), dtype=np.int32), C=C_dev, S=N_dev,
     )
 
     def run(stats1=None, stats2=None):

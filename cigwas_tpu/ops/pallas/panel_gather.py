@@ -278,7 +278,7 @@ def _dyn_pair_sweep(Cb, qb, deg_x, t_hi, y_excl, ct: int):
 
 
 def _sweep_kernel(sc_ref, nbr_ref, C_hbm, rho_ref, pos_ref, win_buf, sem,
-                  *, d: int, W: int, l: int, ct: int):
+                  *, d: int, W: int, l: int, ct: int, nbuf: int):
     """Windowed gather + level-l local sweep fused in ONE kernel: the
     (d, d) local panel never leaves VMEM and one launch covers a whole
     degree bucket (the XLA route's LOCAL_ELEM_BUDGET tile cap forced ~22
@@ -295,13 +295,19 @@ def _sweep_kernel(sc_ref, nbr_ref, C_hbm, rho_ref, pos_ref, win_buf, sem,
             C_hbm.at[pl.ds(b, W), pl.ds(b, W)], win_buf.at[slot], sem.at[slot]
         )
 
-    @pl.when(i == 0)
-    def _():
-        win_dma(0, 0).start()
+    if nbuf == 2:
+        @pl.when(i == 0)
+        def _():
+            win_dma(0, 0).start()
 
-    @pl.when(i + 1 < nt)
-    def _():
-        win_dma((i + 1) % 2, i + 1).start()
+        @pl.when(i + 1 < nt)
+        def _():
+            win_dma((i + 1) % 2, i + 1).start()
+    else:
+        # single-buffered at the largest windows: the sweep compute per
+        # node dwarfs the DMA, and a second W=1024 buffer blows the 16 MB
+        # scoped-VMEM limit (measured OOM at the 11k block)
+        win_dma(0, i).start()
 
     nbr = nbr_ref[0, 0, :d]
     rowix = nbr_ref[0, 1, :]
@@ -311,8 +317,8 @@ def _sweep_kernel(sc_ref, nbr_ref, C_hbm, rho_ref, pos_ref, win_buf, sem,
     l_ids_c = jax.lax.broadcasted_iota(jnp.int32, (W, d), 0) + b
     S = (l_ids_c == nbr[None, :]).astype(jnp.float32)
 
-    win_dma(i % 2, i).wait()
-    win = win_buf[i % 2]
+    win_dma(i % nbuf, i).wait()
+    win = win_buf[i % nbuf]
     isn = jnp.isnan(win)
     hi = jax.lax.Precision.HIGHEST
     t_val = jnp.dot(R, jnp.where(isn, 0.0, win), precision=hi,
@@ -407,6 +413,7 @@ def _sweep_core(C, scalars, rowix, nbrs2, W: int, l: int, ct: int,
                 interpret: bool):
     nt = scalars.shape[1]
     d = nbrs2.shape[-1] - 8
+    nbuf = 1 if W >= 1024 else 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
@@ -422,12 +429,12 @@ def _sweep_core(C, scalars, rowix, nbrs2, W: int, l: int, ct: int,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, W, W), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((nbuf, W, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((nbuf,)),
         ],
     )
     rho, pos = pl.pallas_call(
-        partial(_sweep_kernel, d=d, W=W, l=l, ct=ct),
+        partial(_sweep_kernel, d=d, W=W, l=l, ct=ct, nbuf=nbuf),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((nt, 1, d), jnp.float32),

@@ -977,6 +977,23 @@ def _gather_flat(a, b, idx):
 
 
 @jax.jit
+def hetcor_l0_packed(C, N, th):
+    """Hetcor level-0 delete mask as packed bits: delete iff
+    fisher_z(C) < th / sqrt(N - 3) with the RAW per-pair N
+    (`cal_Indepl0_ess`, `hetcor-cuPC-S.cu:343-377`); NaN thresholds
+    compare false and keep the edge, like the host compare."""
+    z0 = jnp.abs(0.5 * jnp.log(jnp.abs((1 + C) / (1 - C))))
+    return jnp.packbits(z0 < th / jnp.sqrt(N - 3.0), axis=1)
+
+
+@jax.jit
+def trunc_ref_ess(N):
+    """ess_mode="reference" transform on device: truncate toward zero
+    with NaN -> 0 (the reference's int conversion + dead isnan check)."""
+    return jnp.trunc(jnp.nan_to_num(N, nan=0.0)).astype(jnp.float32)
+
+
+@jax.jit
 def level0_screen(C, th0):
     """Level-0 adjacency on device: delete iff fisher-z < th0.
 

@@ -204,8 +204,9 @@ PALLAS_GATHER = os.environ.get("CIGWAS_PALLAS_GATHER", "auto")
 # route when it applies
 PALLAS_SWEEP = os.environ.get("CIGWAS_PALLAS_SWEEP", "auto")
 # chunk-cube budget (floats) of the in-kernel pair sweep: (ct, d, d)
-# intermediates live in VMEM
-SWEEP_CUBE_BUDGET = 1 << int(os.environ.get("CIGWAS_SWEEP_CUBE_LOG2", 19))
+# intermediates live in VMEM next to the window buffer under a 16 MB
+# scoped limit (2^19 OOMed at the 11k block's W=1024 buckets)
+SWEEP_CUBE_BUDGET = 1 << int(os.environ.get("CIGWAS_SWEEP_CUBE_LOG2", 18))
 
 
 def _pallas_sweep_route(C_dev, d_pad: int):
@@ -220,6 +221,11 @@ def _pallas_sweep_route(C_dev, d_pad: int):
     if vp % 128 or d_pad < 32 or d_pad > 256:
         # >256 would need a >8 MB chunk cube at the minimum ct=8; those
         # hub buckets are rare and take the gather/XLA route
+        return None
+    if PALLAS_SWEEP == "auto" and vp < 4096:
+        # measured (BENCH r5): the fused kernel regressed the 2048 block
+        # (0.39 -> 0.85 s at level 1) — per-node grid overhead beats the
+        # few-launch XLA route on small panels; it wins at the 11k block
         return None
     if PALLAS_SWEEP == "1":
         try:
@@ -1561,57 +1567,103 @@ def hetcor_skeleton(
 
     Level 0 always uses the raw per-pair N (`cal_Indepl0_ess`,
     `hetcor-cuPC-S.cu:343-377` reads the float directly).
+
+    C and N may be jax device arrays (the TPU-native cuskss flow keeps
+    the summary-stat panels device-resident): padding, the level-0
+    screen and the ess-mode transform then all run on device, and only
+    the packed level-0 decision bits cross the host link — uploading the
+    assembled (v, v) panels through the remote relay dominated the r5
+    cuskss bench (~800 MB at ~30 MB/s).
     """
     if ess_mode not in ("reference", "float"):
         raise ValueError(f"unknown ess_mode: {ess_mode!r}")
-    C = np.asarray(C, dtype=np.float32)
-    v_real = C.shape[0]
-    align = PANEL_ALIGN
-    if engine is not None:
-        # row-sharded panels split (vp, vp) rows over the mesh axis
-        align = math.lcm(PANEL_ALIGN, engine.ndev)
-    pad = (-v_real) % align
-    if pad:
-        # shape bucket (see `skeleton`): padded vars carry corr 0, finite
-        # ess, no incoming edges — inert at every level
-        C = np.pad(C, ((0, pad), (0, pad)))
-        G = np.pad(np.asarray(G), ((0, pad), (0, pad)))
-        N = np.pad(np.asarray(N, dtype=np.float32), ((0, pad), (0, pad)),
-                   constant_values=10.0)
-        if time_index is not None:
-            time_index = np.pad(np.asarray(time_index, dtype=np.int32), (0, pad))
-    n = C.shape[0]
-    G = np.asarray(G).astype(bool).copy()
-    N = np.asarray(N, dtype=np.float32)
-    if time_index is None:
-        time_index = np.zeros(n, dtype=np.int32)
-    time_index = np.asarray(time_index, dtype=np.int32)
-
-    # level 0: delete-only marginal screen with per-pair N
-    with np.errstate(invalid="ignore", divide="ignore"):
-        z0 = fisher_z(C)
-        loc_th = threshold / np.sqrt(N - 3.0)
-    delete0 = z0 < loc_th
-    G &= ~delete0
-    np.fill_diagonal(G, False)
-
-    if engine is not None:
-        put = engine.put_panel
+    if engine is None and isinstance(C, jax.Array):
+        v_real = int(C.shape[0])
+        pad = (-v_real) % PANEL_ALIGN
+        C_dev = C
+        N_dev_raw = N if isinstance(N, jax.Array) else jnp.asarray(
+            np.asarray(N, dtype=np.float32)
+        )
+        if pad:
+            # inert shape-bucket padding, same semantics as the host path
+            C_dev = jnp.pad(C_dev, ((0, pad), (0, pad)))
+            N_dev_raw = jnp.pad(
+                N_dev_raw, ((0, pad), (0, pad)), constant_values=10.0
+            )
+        n = v_real + pad
+        G = np.asarray(G).astype(bool)
+        G = np.pad(G, ((0, pad), (0, pad))) if pad else G.copy()
+        if time_index is None:
+            time_index = np.zeros(n, dtype=np.int32)
+        else:
+            time_index = np.asarray(time_index, dtype=np.int32)
+            if pad:
+                time_index = np.pad(time_index, (0, pad))
+        # level 0 on device; the same NaN semantics as the host compare
+        # (NaN threshold compares false and keeps the edge)
+        delete0 = np.unpackbits(
+            np.asarray(pcorr_ops.hetcor_l0_packed(
+                C_dev, N_dev_raw, jnp.float32(threshold)
+            )), axis=1, count=n,
+        ).astype(bool)
+        G &= ~delete0
+        np.fill_diagonal(G, False)
+        N_dev = (
+            pcorr_ops.trunc_ref_ess(N_dev_raw)
+            if ess_mode == "reference" else N_dev_raw
+        )
+        t_dev = jnp.asarray(time_index)
     else:
-        # chunked uploads: one monolithic device_put of a ~400 MB panel
-        # stalls the remote relay for tens of seconds (CLAUDE.md) — the
-        # r5 cuskss bench measured 31 s of level-1 "wall" that was really
-        # the first launch syncing behind the C+N uploads
-        from cigwas_tpu.ops.corr import _device_put_chunked as put
-    C_dev = put(C)
-    if ess_mode == "reference":
-        # NaN-free N makes the kernels' NaN masks all-false, i.e. every pair
-        # is counted — exactly the reference's dead NaN check (see docstring)
-        N_lvl = np.trunc(np.nan_to_num(N, nan=0.0)).astype(np.float32)
-    else:
-        N_lvl = N
-    N_dev = put(N_lvl)
-    t_dev = jnp.asarray(time_index)
+        C = np.asarray(C, dtype=np.float32)
+        v_real = C.shape[0]
+        align = PANEL_ALIGN
+        if engine is not None:
+            # row-sharded panels split (vp, vp) rows over the mesh axis
+            align = math.lcm(PANEL_ALIGN, engine.ndev)
+        pad = (-v_real) % align
+        if pad:
+            # shape bucket (see `skeleton`): padded vars carry corr 0,
+            # finite ess, no incoming edges — inert at every level
+            C = np.pad(C, ((0, pad), (0, pad)))
+            G = np.pad(np.asarray(G), ((0, pad), (0, pad)))
+            N = np.pad(np.asarray(N, dtype=np.float32), ((0, pad), (0, pad)),
+                       constant_values=10.0)
+            if time_index is not None:
+                time_index = np.pad(
+                    np.asarray(time_index, dtype=np.int32), (0, pad)
+                )
+        n = C.shape[0]
+        G = np.asarray(G).astype(bool).copy()
+        N = np.asarray(N, dtype=np.float32)
+        if time_index is None:
+            time_index = np.zeros(n, dtype=np.int32)
+        time_index = np.asarray(time_index, dtype=np.int32)
+
+        # level 0: delete-only marginal screen with per-pair N
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z0 = fisher_z(C)
+            loc_th = threshold / np.sqrt(N - 3.0)
+        delete0 = z0 < loc_th
+        G &= ~delete0
+        np.fill_diagonal(G, False)
+
+        if engine is not None:
+            put = engine.put_panel
+        else:
+            # chunked uploads: one monolithic device_put of a ~400 MB
+            # panel stalls the remote relay for tens of seconds
+            # (CLAUDE.md)
+            from cigwas_tpu.ops.corr import _device_put_chunked as put
+        C_dev = put(C)
+        if ess_mode == "reference":
+            # NaN-free N makes the kernels' NaN masks all-false, i.e.
+            # every pair is counted — exactly the reference's dead NaN
+            # check (see docstring)
+            N_lvl = np.trunc(np.nan_to_num(N, nan=0.0)).astype(np.float32)
+        else:
+            N_lvl = N
+        N_dev = put(N_lvl)
+        t_dev = jnp.asarray(time_index)
     final_level = 0
     _t_enter = time.perf_counter()
     for l in range(1, min(ML, max_level) + 1):

@@ -121,12 +121,24 @@ def reduce_gc(
     index_map: np.ndarray | None = None,
 ) -> ReducedGC:
     """Like :func:`reduce_gcs` but S is the (num_var, num_var) ESS matrix
-    (`parent_set.cpp:177-238`)."""
+    (`parent_set.cpp:177-238`). C and S may be device arrays (possibly
+    pad-extended beyond num_var): the kept submatrices are gathered ON
+    DEVICE and only (k, k) blocks are fetched — the device-resident
+    cuskss flow never moves the full panels over the host link."""
+    import jax
+
     keep = np.asarray(keep, dtype=np.int64)
     G = np.asarray(G).reshape(num_var, num_var)
-    C = np.asarray(C).reshape(num_var, num_var)
-    S = np.asarray(S).reshape(num_var, num_var)
     k = keep.size
+
+    def sub(M):
+        if isinstance(M, jax.Array):
+            kd = jax.numpy.asarray(keep.astype(np.int32))
+            return np.asarray(M[kd[:, None], kd[None, :]]).astype(np.float32)
+        return np.asarray(M).reshape(num_var, num_var)[
+            np.ix_(keep, keep)
+        ].astype(np.float32)
+
     if index_map is not None:
         new_to_old = np.asarray(index_map, dtype=np.int32)[keep]
     else:
@@ -137,8 +149,8 @@ def reduce_gc(
         max_level=max_level,
         new_to_old_indices=new_to_old,
         G=G[np.ix_(keep, keep)].astype(np.int32),
-        C=C[np.ix_(keep, keep)].astype(np.float32),
-        S=S[np.ix_(keep, keep)].astype(np.float32),
+        C=sub(C),
+        S=sub(S),
     )
 
 

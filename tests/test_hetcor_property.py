@@ -214,3 +214,47 @@ def test_hetcor_local_path_matches_scan_path(seed):
         mp.setattr(cupc, "LOCAL_LEVELS", ())
         scan = cupc.hetcor_skeleton(C, G0, N, th, 3, time_index=t_ix)
     np.testing.assert_array_equal(local.G, scan.G)
+
+
+@pytest.mark.parametrize("seed", [10, 11])
+def test_hetcor_device_resident_panels_match_host_path(seed):
+    """hetcor_skeleton with jax-array C/N (the device-resident cuskss
+    flow: on-device padding, level-0 screen, ess transform) must make the
+    same decisions as the host-array path."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    v = 14
+    C, n = _random_panel(rng, v)
+    N = _random_ess(rng, v, n)
+    t_ix = rng.integers(0, 2, size=v).astype(np.int32)
+    th = hetcor_threshold(1e-3)
+    G0 = np.ones((v, v), np.int32)
+    for ess_mode in ("reference", "float"):
+        host = hetcor_skeleton(
+            C, G0, N, th, 3, time_index=t_ix, ess_mode=ess_mode
+        )
+        dev = hetcor_skeleton(
+            jnp.asarray(C), G0, jnp.asarray(N), th, 3, time_index=t_ix,
+            ess_mode=ess_mode,
+        )
+        np.testing.assert_array_equal(host.G, dev.G)
+
+
+def test_reduce_gc_device_arrays_gather_on_device():
+    """reduce_gc with device C/S fetches only the kept (k, k) blocks."""
+    import jax.numpy as jnp
+
+    from cigwas_tpu.skeleton import reduce_gc
+
+    rng = np.random.default_rng(0)
+    n, p = 6, 2
+    G = (rng.random((n, n)) < 0.5).astype(np.int32)
+    C = rng.normal(size=(n, n)).astype(np.float32)
+    S = rng.uniform(10, 100, (n, n)).astype(np.float32)
+    keep = np.array([0, 2, 3, 5])
+    host = reduce_gc(G, C, S, keep, n, p, 14)
+    dev = reduce_gc(G, jnp.asarray(C), jnp.asarray(S), keep, n, p, 14)
+    np.testing.assert_array_equal(host.C, dev.C)
+    np.testing.assert_array_equal(host.S, dev.S)
+    np.testing.assert_array_equal(host.G, dev.G)
