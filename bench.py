@@ -431,18 +431,21 @@ def _phase_cuskss(result):
     np.fill_diagonal(pp_ess, n_gwas)  # rho=1 diagonal has no defined SE
     sq_ess[m:, m:] = pp_ess
     th = hetcor_threshold(1e-4)
-    # stage the panels on device ONCE (chunked; timed separately): the
-    # TPU-native cuskss flow keeps the summary-stat panels device-resident
-    # — re-uploading ~800 MB through the relay per run dominated the first
-    # r5 measurement (~30 s of "level-1 wall" that was transfer)
-    import jax
+    # stage the panels on device ONCE (timed separately): upload the
+    # COMPACT inputs — the mxm lower triangle (the reference's binary
+    # file format) + the mxp/pxp blocks — and assemble the (v, v) panels
+    # on device (`assemble_cuskss_panels_device`); the TPU-native cuskss
+    # flow keeps them device-resident (re-uploading ~800 MB of assembled
+    # squares per run dominated the first r5 measurement)
     import jax.numpy as jnp
 
-    from cigwas_tpu.ops.corr import _device_put_chunked
+    from cigwas_tpu.pipelines.cuskss import assemble_cuskss_panels_device
 
     t0 = time.perf_counter()
-    C_dev = _device_put_chunked(sq_corrs)
-    N_dev = _device_put_chunked(sq_ess)
+    tril = sq_corrs[:m, :m][np.tril_indices(m)]
+    C_dev, N_dev = assemble_cuskss_panels_device(
+        tril, mxp, pxp, n_gwas, mp_ess=mp_ess, pp_ess=sq_ess[m:, m:],
+    )
     float(jnp.asarray(C_dev[0, 0]))
     float(jnp.asarray(N_dev[0, 0]))
     result["cuskss_upload_s"] = round(time.perf_counter() - t0, 2)
@@ -476,6 +479,10 @@ def _phase_cuskss(result):
         str(k): round(w, 2) for k, w in stats2.get("level_wall_s", {}).items()
     }
     result["cuskss_markers_retained"] = int(g2.num_markers())
+    result["cuskss_l1_detail"] = {
+        k: round(w, 2) if isinstance(w, float) else w
+        for k, w in stats1.get("level_detail", {}).get(1, {}).items()
+    }
     deep = sum(
         w for st in (stats1, stats2)
         for l, w in st.get("level_wall_s", {}).items() if l >= 2

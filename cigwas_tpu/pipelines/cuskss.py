@@ -10,6 +10,7 @@ skeleton with ancestor reduction after each stage (`run_cusk`,
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import numpy as np
 
@@ -128,6 +129,88 @@ def make_square_cuskss_inputs(
         sq_ess[m:, :m] = mp_ess.T
         sq_ess[m:, m:] = pxp.get_sample_sizes()
     return sq_corrs, sq_ess
+
+
+def _assemble_panels_jit(m_: int, p_: int, het_: bool):
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnames=())
+    def assemble(tril_, mxp_, pxp_, mp_ess_, pp_ess_, n_):
+        flat = jnp.nan_to_num(tril_.reshape(-1))
+        i = jnp.arange(m_)
+        r = jnp.maximum(i[:, None], i[None, :])
+        c = jnp.minimum(i[:, None], i[None, :])
+        Cmm = flat[(r * (r + 1)) // 2 + c]
+        C = jnp.ones((m_ + p_, m_ + p_), jnp.float32)
+        C = C.at[:m_, :m_].set(Cmm)
+        C = C.at[:m_, m_:].set(mxp_)
+        C = C.at[m_:, :m_].set(mxp_.T)
+        C = C.at[m_:, m_:].set(pxp_)
+        N = jnp.full((m_ + p_, m_ + p_), n_, jnp.float32)
+        if het_:
+            N = N.at[:m_, m_:].set(mp_ess_)
+            N = N.at[m_:, :m_].set(mp_ess_.T)
+            N = N.at[m_:, m_:].set(pp_ess_)
+        return C, N
+
+    return assemble
+
+
+_ASSEMBLE_CACHE: dict = {}
+
+
+def assemble_cuskss_panels_device(
+    mxm_tril: np.ndarray,
+    mxp: np.ndarray,
+    pxp: np.ndarray,
+    pearson_sample_size: float,
+    mp_ess: np.ndarray | None = None,
+    pp_ess: np.ndarray | None = None,
+):
+    """Device-resident `make_square_cuskss_inputs` (`cli.cpp:89-173`).
+
+    Uploads the COMPACT parts — the (m(m+1)/2,) mxm lower triangle (the
+    binary format of `marker_summary_stats.cpp:8-24`) plus the (m, p) and
+    (p, p) blocks — and assembles the dense (v, v) corr/ESS panels ON
+    DEVICE: ~4x less relay traffic than shipping the assembled squares,
+    and the panels feed :func:`cigwas_tpu.skeleton.hetcor_skeleton`'s
+    device path without ever existing on the host. NaN mxm entries map to
+    0 exactly like the host loader. Returns (C_dev, N_dev), both (v, v)
+    f32 with v = m + p.
+    """
+    import jax.numpy as jnp
+
+    from cigwas_tpu.ops.corr import _device_put_chunked
+
+    mxm_tril = np.asarray(mxm_tril, dtype=np.float32)
+    m = int((np.sqrt(8 * mxm_tril.size + 1) - 1) / 2)
+    if m * (m + 1) // 2 != mxm_tril.size:
+        raise ValueError("mxm tril size is not triangular")
+    mxp = np.asarray(mxp, dtype=np.float32)
+    pxp = np.asarray(pxp, dtype=np.float32)
+    p = pxp.shape[0]
+    # chunked 2-D upload of the tril (1-D arrays ship whole otherwise)
+    pad = (-mxm_tril.size) % 8192
+    tril2 = np.pad(mxm_tril, (0, pad)).reshape(-1, 8192)
+    tril_dev = _device_put_chunked(tril2)
+
+    het = mp_ess is not None
+    key = (m, p, het)
+    fn = _ASSEMBLE_CACHE.get(key)
+    if fn is None:
+        fn = _assemble_panels_jit(m, p, het)
+        _ASSEMBLE_CACHE[key] = fn
+    mp_e = np.asarray(
+        mp_ess if het else np.zeros((m, p)), dtype=np.float32
+    )
+    pp_e = np.asarray(
+        pp_ess if pp_ess is not None else np.zeros((p, p)), dtype=np.float32
+    )
+    return fn(
+        tril_dev, jnp.asarray(mxp), jnp.asarray(pxp), jnp.asarray(mp_e),
+        jnp.asarray(pp_e), jnp.float32(pearson_sample_size),
+    )
 
 
 def run_cusk(

@@ -283,7 +283,8 @@ def _pallas_gather_route(C_dev, d_pad: int):
     return pg.gather_apply
 
 
-def _local_tile_plan(deg_all: np.ndarray, active: np.ndarray, l: int):
+def _local_tile_plan(deg_all: np.ndarray, active: np.ndarray, l: int,
+                     d_cap: int | None = None):
     """Launch plan for the dense local-panel sweeps.
 
     Nodes are bucketed by padded degree (multiples of 8 — the sweep walls
@@ -292,6 +293,11 @@ def _local_tile_plan(deg_all: np.ndarray, active: np.ndarray, l: int):
     costs fewer dense slots than a dispatch floor (`MERGE_SLOT_BUDGET`),
     and each group gets the largest node tile the element budget allows —
     launches are the bound at production block sizes, not sweep FLOPs.
+
+    d_cap, if given, forbids merging a <= d_cap bucket into a wider one:
+    the fused Pallas sweep route only serves buckets up to its width cap,
+    and unbounded merging silently pushed every 11k-block bucket past it
+    (one launch per bucket makes the merge's launch-saving moot there).
 
     Returns [(d_pad, nodes ascending, ct, node_tile), ...]. Results are
     d_pad-invariant: padded slots are masked out of every reduction, so
@@ -311,7 +317,8 @@ def _local_tile_plan(deg_all: np.ndarray, active: np.ndarray, l: int):
             pend_nodes, pend_d = list(buckets[d]), d
             continue
         upgrade = len(pend_nodes) * (d ** (l + 1) - pend_d ** (l + 1))
-        if upgrade <= MERGE_SLOT_BUDGET:
+        crosses_cap = d_cap is not None and pend_d <= d_cap < d
+        if upgrade <= MERGE_SLOT_BUDGET and not crosses_cap:
             pend_nodes.extend(buckets[d])
             pend_d = d
         else:
@@ -527,8 +534,12 @@ def _run_level_local1(
         for nodes_grp, grp_gather in groups:
           if nodes_grp.size == 0:
             continue
+          sweep_cap = (
+              256 if _pallas_sweep_route(C_dev, 128) is not None else None
+          )
           for d_pad, nodes, _ct, node_tile in _local_tile_plan(
-              deg_all, nodes_grp, 1
+              deg_all, nodes_grp, 1,
+              d_cap=sweep_cap if grp_gather else None,
           ):
             gather = _pallas_gather_route(C_dev, d_pad) if grp_gather else None
             sweepfn = _pallas_sweep_route(C_dev, d_pad) if grp_gather else None
@@ -742,11 +753,18 @@ def _run_level_local(
             groups = [(active[fits], True), (active[~fits], False)]
         elif not fits.any():
             groups = [(active, False)]
+    # keep sweep-eligible buckets inside the fused kernel's width cap
+    sweep_cap = (
+        256 if engine is None and _pallas_sweep_route(C_dev, 128) is not None
+        else None
+    )
     pending = []
     for nodes_grp, grp_gather in groups:
       if nodes_grp.size == 0:
         continue
-      for d_pad, nodes, ct, node_tile in _local_tile_plan(deg_all, nodes_grp, l):
+      for d_pad, nodes, ct, node_tile in _local_tile_plan(
+          deg_all, nodes_grp, l, d_cap=sweep_cap if grp_gather else None
+      ):
         gather = (
             _pallas_gather_route(C_dev, d_pad)
             if engine is None and grp_gather else None
@@ -846,6 +864,9 @@ def _run_level_local(
                 )
                 pending.append((tile, nbrs, deg, rho_dev, pos_dev))
     mark("dispatch")
+    if stats is not None:
+        det = stats.setdefault("level_detail", {}).setdefault(l, {})
+        det["launches"] = det.get("launches", 0) + len(pending)
 
     for _, _, _, rho_dev, pos_dev in pending:
         if isinstance(rho_dev, tuple):
@@ -911,6 +932,7 @@ def _run_level_local_hetcor1(
     G: np.ndarray,
     th: float,
     verbose: bool = False,
+    stats: dict | None = None,
 ):
     """Hetcor level 1 via the neighbour-list local sweep (bucketed tiles).
 
@@ -920,6 +942,16 @@ def _run_level_local_hetcor1(
     level 1 the dominant wall at summary-stat panel sizes, exactly like
     the plain skeleton's r4 level-1 wall (VERDICT r4 #1/#3).
     """
+    t_mark = time.perf_counter()
+
+    def mark(name):
+        nonlocal t_mark
+        if stats is not None:
+            now = time.perf_counter()
+            det = stats.setdefault("level_detail", {}).setdefault(1, {})
+            det[name] = det.get(name, 0.0) + (now - t_mark)
+            t_mark = now
+
     n = G.shape[0]
     Gb = G.astype(bool)
     deg_all = Gb.sum(axis=1)
@@ -928,6 +960,7 @@ def _run_level_local_hetcor1(
     if active.size == 0:
         return removed
     margin_full = np.full((n, n), np.inf, dtype=np.float32)
+    mark("host_alloc")
     pending = []
     for d_pad, nodes, _ct, node_tile in _local_tile_plan(deg_all, active, 1):
         for s0 in range(0, len(nodes), node_tile):
@@ -944,15 +977,25 @@ def _run_level_local_hetcor1(
                 jnp.asarray(deg), jnp.float32(th),
             )
             pending.append((tile, nbrs, deg, m_dev))
+    mark("dispatch")
     for _, _, _, m_dev in pending:
         m_dev.copy_to_host_async()
+    first = True
     for tile, nbrs, deg, m_dev in pending:
         m_c = np.asarray(m_dev)
+        if first:
+            mark("device_wait")
+            first = False
         nt_real = len(tile)
         d_pad = nbrs.shape[1]
         valid = np.arange(d_pad)[None, :] < deg[:nt_real, None]
         ri, ci = np.nonzero(valid)
         margin_full[tile[ri], nbrs[ri, ci]] = m_c[ri, ci]
+    mark("fetch_scatter")
+    if stats is not None:
+        stats.setdefault("level_detail", {}).setdefault(1, {})["launches"] = (
+            len(pending)
+        )
     if verbose:
         print(f"[hetcor level 1] local-sweep launches: {len(pending)}")
     cond = (margin_full < 0) & Gb
@@ -1680,7 +1723,7 @@ def hetcor_skeleton(
             # margins to the dense route (see hetcor1_local_sweep)
             removed = _run_level_local_hetcor1(
                 C_dev, N_dev, t_dev, G.astype(np.int32), float(threshold),
-                verbose=verbose,
+                verbose=verbose, stats=stats,
             )
         elif l == 1 and n <= DENSE_L1_MAX:
             # dense masked sweep, one dispatch (same tests as the

@@ -208,3 +208,46 @@ def test_cuskss_sharded_byte_identical(tmp_path, panel_mode):
     got, exp = hashes(mesh_dir), hashes(plain_dir)
     assert exp, "no outputs produced"
     assert got == exp
+
+
+def test_assemble_cuskss_panels_device_matches_host():
+    """Device assembly from the compact tril/blocks must reproduce
+    `make_square_cuskss_inputs` exactly (incl. the loader's NaN -> 0 on
+    mxm, the diagonal from the tril, and the pearson ESS fill)."""
+    import jax.numpy as jnp
+
+    from cigwas_tpu.pipelines.cuskss import assemble_cuskss_panels_device
+
+    rng = np.random.default_rng(4)
+    m, p, n = 37, 3, 50000.0
+    full = rng.normal(size=(m, m)).astype(np.float32)
+    full = ((full + full.T) / 2).astype(np.float32)
+    full[rng.random((m, m)) < 0.02] = np.nan
+    full = np.triu(full) + np.triu(full, 1).T  # symmetric w/ NaN pattern
+    tril = full[np.tril_indices(m)]
+    mxp = rng.normal(size=(m, p)).astype(np.float32)
+    pxp = rng.normal(size=(p, p)).astype(np.float32)
+    mp_ess = rng.uniform(1e4, 5e4, (m, p)).astype(np.float32)
+    pp_ess = rng.uniform(1e4, 5e4, (p, p)).astype(np.float32)
+
+    C_dev, N_dev = assemble_cuskss_panels_device(
+        tril, mxp, pxp, n, mp_ess=mp_ess, pp_ess=pp_ess
+    )
+    C_k, N_k = np.asarray(C_dev), np.asarray(N_dev)
+    v = m + p
+    exp_C = np.ones((v, v), np.float32)
+    exp_C[:m, :m] = np.nan_to_num(full)
+    exp_C[:m, m:] = mxp
+    exp_C[m:, :m] = mxp.T
+    exp_C[m:, m:] = pxp
+    exp_N = np.full((v, v), n, np.float32)
+    exp_N[:m, m:] = mp_ess
+    exp_N[m:, :m] = mp_ess.T
+    exp_N[m:, m:] = pp_ess
+    np.testing.assert_array_equal(C_k, exp_C)
+    np.testing.assert_array_equal(N_k, exp_N)
+
+    # pearson mode: constant ESS everywhere
+    C2, N2 = assemble_cuskss_panels_device(tril, mxp, pxp, n)
+    assert (np.asarray(N2) == n).all()
+    np.testing.assert_array_equal(np.asarray(C2), exp_C)
