@@ -194,7 +194,9 @@ def _phase_fused_step_attribution(result):
             X = geno_onehot(codes).reshape(3 * M, -1)
             counts = contingency_counts(X, X).astype(jnp.float32)
             C = _kendall_from_counts(counts, M, M)
-            return acc + C[0, 1], None
+            # full-sum consumption: slicing one element would let XLA
+            # narrow the matmul (measured: impossible >spec "rates")
+            return acc + jnp.sum(C), None
 
         s, _ = jax.lax.scan(body, jnp.float32(0), bb)
         return s
@@ -242,11 +244,14 @@ def _phase_fused_step_attribution(result):
 
     @jax.jit
     def raw_int8(X):
-        def body(acc, _):
-            c = contingency_counts(X, X)
-            return acc + c[0, 1], None
+        # loop-VARIANT input: a loop-invariant matmul would be hoisted out
+        # of the scan and the amortized ceiling would read ~Kx too high
+        def body(acc, k):
+            c = contingency_counts(X + k.astype(jnp.int8), X)
+            return acc + jnp.sum(c), None
 
-        s, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(K_AMORT))
+        s, _ = jax.lax.scan(body, jnp.int32(0),
+                            jnp.arange(K_AMORT, dtype=jnp.int32))
         return s
 
     t_cont = timed(contingency_only, beds)

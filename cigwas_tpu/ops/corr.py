@@ -511,8 +511,10 @@ def corr_panel_device(
 
 
 # mm-block row tile of the large-panel builder (multiple of PANEL_ALIGN so
-# the assembled panel stays shape-bucketed)
-PANEL_ROW_TILE = 1024
+# the assembled panel stays shape-bucketed); 2048 measured ~1.4x faster
+# than 1024 at the 11k block (probe_r5_panel_mm — bigger stripes amortize
+# the int8 matmul better)
+PANEL_ROW_TILE = 2048
 
 
 @partial(jax.jit, donate_argnums=(0,), static_argnames=("n_chunks",))
@@ -525,6 +527,11 @@ def _panel_mm_tile_update(C, rows_bytes, cols_bytes, t0, n_chunks: int):
     return jax.lax.dynamic_update_slice(C, tile, (t0, 0))
 
 
+# decode-once gate: materialize the whole (3m, n) int8 one-hot in HBM
+# when it fits this budget; beyond it the scan path re-decodes per stripe
+DECODE_ONCE_MAX_BYTES = 2 << 30
+
+
 @partial(jax.jit, donate_argnums=(0,),
          static_argnames=("n_chunks", "row_tile", "nfull"))
 def _panel_mm_tiles_fused(C, cols_bytes, n_chunks: int, row_tile: int,
@@ -535,9 +542,37 @@ def _panel_mm_tiles_fused(C, cols_bytes, n_chunks: int, row_tile: int,
     tile (~22 tiles at the 11k block = most of the measured ~6.7 s
     `corr_dispatch`); the loop body is identical to
     `_panel_mm_tile_update`, so tile values are byte-identical.
+
+    When the decoded one-hot panel fits DECODE_ONCE_MAX_BYTES, the
+    column panel is decoded ONCE into HBM and stripes are pure int8
+    matmul row slices — the per-stripe re-decode cost ~40% of the mm
+    wall at the 11k block (probe_r5_panel_mm: 0.27 -> 0.14 s combined
+    with the 2048 stripe). Counts are int32-exact either way, so tile
+    values are bit-identical across the two paths.
     """
     B = cols_bytes.shape[1]
     mc = cols_bytes.shape[0]
+
+    if 3 * mc * (4 * B) <= DECODE_ONCE_MAX_BYTES and n_chunks == 1:
+        from cigwas_tpu.ops.decode import contingency_counts
+
+        X = geno_onehot(unpack_bed_codes(cols_bytes)).reshape(3 * mc, -1)
+
+        def body_pre(i, C):
+            t0 = i * row_tile
+            # channel-major rows of the stripe: [a*mc + t0, +rt) per
+            # channel a (matches _kendall_from_counts' block layout)
+            rows = jnp.concatenate([
+                jax.lax.dynamic_slice(
+                    X, (a * mc + t0, 0), (row_tile, X.shape[1])
+                )
+                for a in range(3)
+            ], axis=0)
+            counts = contingency_counts(rows, X).astype(jnp.float32)
+            tile = _kendall_from_counts(counts, row_tile, mc)
+            return jax.lax.dynamic_update_slice(C, tile, (t0, 0))
+
+        return jax.lax.fori_loop(0, nfull, body_pre, C)
 
     def body(i, C):
         t0 = i * row_tile

@@ -47,13 +47,20 @@ def main():
 
             @jax.jit
             def raw_int8(X):
-                def body(acc, _):
+                # loop-VARIANT input: a loop-invariant matmul gets hoisted
+                # out of the scan by XLA and the amortized rate reads ~Kx
+                # too high (the first r5 sweep reported 1019 "TOP/s")
+                def body(acc, k):
+                    Xk = X + k.astype(jnp.int8)
                     c = jax.lax.dot_general(
-                        X, X, (((1,), (1,)), ((), ())),
+                        Xk, X, (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.int32,
                     )
-                    return acc + c[0, 1], None
-                s, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(K))
+                    # consume the WHOLE result: a c[0, 1] slice lets
+                    # XLA narrow the dot to a single row x column
+                    return acc + jnp.sum(c), None
+                s, _ = jax.lax.scan(body, jnp.int32(0),
+                                    jnp.arange(K, dtype=jnp.int32))
                 return s
 
             t = timed(raw_int8, Xd)
@@ -68,11 +75,14 @@ def main():
 
             @jax.jit
             def fused(bb):
-                def body(acc, _):
-                    oh = geno_onehot(unpack_bed_codes(bb)).reshape(3 * m, -1)
+                def body(acc, k):
+                    oh = geno_onehot(
+                        unpack_bed_codes(bb ^ k.astype(jnp.uint8))
+                    ).reshape(3 * m, -1)
                     c = contingency_counts(oh, oh)
-                    return acc + c[0, 1], None
-                s, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(K))
+                    return acc + jnp.sum(c), None
+                s, _ = jax.lax.scan(body, jnp.int32(0),
+                                    jnp.arange(K, dtype=jnp.uint8))
                 return s
 
             t = timed(fused, bd)
