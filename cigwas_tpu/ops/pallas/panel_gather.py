@@ -331,7 +331,12 @@ def _sweep_kernel(sc_ref, nbr_ref, C_hbm, rho_ref, pos_ref, win_buf, sem,
     Cb = out[:d]
     qb = out[d]
     deg_i = sc_ref[1, i]
+    _sweep_tail(Cb, qb, deg_i, rho_ref, pos_ref, d=d, l=l, ct=ct)
 
+
+def _sweep_tail(Cb, qb, deg_i, rho_ref, pos_ref, *, d: int, l: int, ct: int):
+    """The level-l in-kernel sweep on a gathered (d, d) local panel —
+    shared by the windowed-DMA and row-DMA gather kernels."""
     if l == 1:
         # single-conditioning sweep, the in-kernel form of
         # `level1_local_sweep_pre` (same pre-scaled expression; masked-iota
@@ -407,6 +412,258 @@ def _sweep_kernel(sc_ref, nbr_ref, C_hbm, rho_ref, pos_ref, win_buf, sem,
         pos_ref[0, 0] = p1
         pos_ref[0, 1] = p2
         pos_ref[0, 2] = p3
+
+
+ROW_CHUNK = 8
+COL_BLOCK = 1024
+
+
+def _row_gather_panel(sc_ref, nbv_ref, C1d, rows_buf, cb_buf, sem,
+                      *, d: int, vp: int):
+    """Shared row-DMA gather loop: fills ``cb_buf`` (d+8, d) with the
+    node's local panel (rows = rowix entries of sc_ref, columns selected
+    by the one-hot matmul).
+
+    One DMA per NEIGHBOUR ROW — no span constraint at all. Chance
+    correlations above the level-0 threshold give ~every node at a
+    genome-scale block a far-flung neighbour (measured: zero 11k-block
+    nodes fit a 1024-wide window at level 1), which defeats the windowed
+    kernel AND the XLA element gather (~0.2 GB/s effective). Mosaic
+    rejects single-row slices of a (8, 128)-tiled 2-D array, so rows ride
+    a 1-D VIEW of C with vp-aligned offsets into a 1-D landing buffer
+    (measured 95 GB/s effective at the 11k shape — DMA-issue bound,
+    scripts/probe_r5_rowgather.py); the column selection is the same
+    exact one-hot matmul as the windowed kernel, blocked over vp so VMEM
+    holds only ROW_CHUNK rows. Bit-identical to the XLA gather (NaNs via
+    the parallel count matmul).
+    """
+    i = pl.program_id(0)
+    n_rch = (d + 8) // ROW_CHUNK
+    nbr = nbv_ref[0, 0, :d]
+
+    def row_dma(slot, r_global):
+        idx = sc_ref[i, r_global]
+        return pltpu.make_async_copy(
+            C1d.at[pl.ds(idx * vp, vp)],
+            rows_buf.at[pl.ds(slot * vp, vp)],
+            sem.at[slot],
+        )
+
+    # prime the first chunk's row DMAs (double-buffered chunks)
+    for r in range(ROW_CHUNK):
+        row_dma(r, r).start()
+
+    def chunk(k, carry):
+        # prefetch chunk k+1 while selecting chunk k
+        @pl.when(k + 1 < n_rch)
+        def _():
+            for r in range(ROW_CHUNK):
+                row_dma(ROW_CHUNK * ((k + 1) % 2) + r,
+                        (k + 1) * ROW_CHUNK + r).start()
+
+        slot0 = ROW_CHUNK * (k % 2)
+        for r in range(ROW_CHUNK):
+            # reconstruct the EXACT start descriptor: interpret mode
+            # performs the copy at wait() using the descriptor given
+            row_dma(slot0 + r, k * ROW_CHUNK + r).wait()
+        rows = rows_buf[pl.ds(slot0 * vp, ROW_CHUNK * vp)].reshape(
+            ROW_CHUNK, vp
+        )
+        isn = jnp.isnan(rows)
+        rows0 = jnp.where(isn, 0.0, rows)
+        isnf = isn.astype(jnp.float32)
+        hi = jax.lax.Precision.HIGHEST
+        val = jnp.zeros((ROW_CHUNK, d), jnp.float32)
+        nan = jnp.zeros((ROW_CHUNK, d), jnp.float32)
+        for b0 in range(0, vp, COL_BLOCK):
+            cb = min(COL_BLOCK, vp - b0)
+            S = (
+                jax.lax.broadcasted_iota(jnp.int32, (cb, d), 0) + b0
+                == nbr[None, :]
+            ).astype(jnp.float32)
+            val = val + jnp.dot(rows0[:, b0 : b0 + cb], S, precision=hi,
+                                preferred_element_type=jnp.float32)
+            nan = nan + jnp.dot(isnf[:, b0 : b0 + cb], S, precision=hi,
+                                preferred_element_type=jnp.float32)
+        out = jnp.where(nan > 0.5, jnp.float32(jnp.nan), val)
+        cb_buf[pl.ds(k * ROW_CHUNK, ROW_CHUNK), :] = out
+        return carry
+
+    jax.lax.fori_loop(0, n_rch, chunk, 0, unroll=False)
+
+
+def _rowsweep_kernel(sc_ref, nbv_ref, C1d, rho_ref, pos_ref, rows_buf,
+                     cb_buf, sem, *, d: int, vp: int, l: int, ct: int):
+    """Row-DMA gather + level-l sweep fused in one kernel (the windowed
+    `_sweep_kernel`'s scattered-span sibling)."""
+    _row_gather_panel(sc_ref, nbv_ref, C1d, rows_buf, cb_buf, sem,
+                      d=d, vp=vp)
+    i = pl.program_id(0)
+    Cb = cb_buf[:d, :]
+    qb = cb_buf[d, :]
+    deg_i = sc_ref[i, d + 8]
+    _sweep_tail(Cb, qb, deg_i, rho_ref, pos_ref, d=d, l=l, ct=ct)
+
+
+def _rowgather_kernel(sc_ref, nbv_ref, C1d, Cb_ref, qb_ref, rows_buf,
+                      cb_buf, sem, *, d: int, vp: int):
+    """Row-DMA gather that WRITES the local panels (Cb, qb) — the
+    scattered-span replacement for `gather_local_panels`, for consumers
+    whose sweep needs more inputs than C (hetcor's per-pair ESS)."""
+    _row_gather_panel(sc_ref, nbv_ref, C1d, rows_buf, cb_buf, sem,
+                      d=d, vp=vp)
+    Cb_ref[0] = cb_buf[:d, :]
+    qb_ref[0, 0] = cb_buf[d, :]
+
+
+def _row_grid_spec(nt: int, d: int, vp: int, out_specs, n_extra_scalars=0):
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, 1, d), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((2 * ROW_CHUNK * vp,), jnp.float32),
+            pltpu.VMEM((d + 8, d), jnp.float32),
+            pltpu.SemaphoreType.DMA((2 * ROW_CHUNK,)),
+        ],
+    )
+
+
+def _rowsweep_core(C, scalars, nbrs2, l: int, ct: int, interpret: bool):
+    nt = scalars.shape[0]
+    d = nbrs2.shape[-1] - 8
+    vp = int(C.shape[0])
+    grid_spec = _row_grid_spec(nt, d, vp, (
+        pl.BlockSpec((1, 1, d), lambda i, *_: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, l, d), lambda i, *_: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ))
+    rho, pos = pl.pallas_call(
+        partial(_rowsweep_kernel, d=d, vp=vp, l=l, ct=ct),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((nt, 1, d), jnp.float32),
+            jax.ShapeDtypeStruct((nt, l, d), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(scalars, nbrs2[:, :d].reshape(nt, 1, d), C.reshape(vp * vp))
+    return rho[:, 0, :], jnp.transpose(pos, (0, 2, 1))
+
+
+def _row_inputs(node_ixs, nbrs, deg):
+    node_ixs = np.asarray(node_ixs, dtype=np.int32)
+    nbrs = np.asarray(nbrs, dtype=np.int32)
+    deg = np.asarray(deg, dtype=np.int32)
+    nt, d = nbrs.shape
+    valid = np.arange(d)[None, :] < deg[:, None]
+    nbrs_w = np.where(valid, nbrs, node_ixs[:, None]).astype(np.int32)
+    # scalar rows: [nbrs | node_ix x8 | deg] — DMA row ids then degree
+    rowix = np.concatenate(
+        [nbrs_w, np.repeat(node_ixs[:, None], 8, axis=1)], axis=1
+    )
+    scalars = np.concatenate([rowix, deg[:, None]], axis=1)  # (nt, d+9)
+    nbrs2 = np.concatenate([nbrs_w, np.zeros((nt, 8), np.int32)], axis=1)
+    return scalars, nbrs2, deg
+
+
+def rowsweep_apply(C, node_ixs, nbrs, deg, l: int, ct: int, rho_threshold,
+                   want_rho: bool, interpret: bool = False):
+    """Row-DMA gather+sweep launch (any neighbour spans); output formats
+    identical to :func:`sweep_apply`."""
+    scalars, nbrs2, deg = _row_inputs(node_ixs, nbrs, deg)
+    nt, d = np.asarray(nbrs).shape
+    lean = (not want_rho) and d <= 256
+    cache_key = ("rowsweep", l, ct, int(C.shape[0]), d, nt, lean, interpret)
+    fn = _SWEEP_CACHE.get(cache_key)
+    if fn is None:
+        def fused(C_, scalars_, nbrs2_, rho_th_):
+            rho, pos = _rowsweep_core(C_, scalars_, nbrs2_, l, ct,
+                                      interpret)
+            if lean:
+                hit = jnp.packbits(rho < rho_th_, axis=1)
+                return hit, pos.astype(jnp.uint8)
+            return jnp.concatenate([rho[:, :, None], pos], axis=2)
+
+        fn = jax.jit(fused)
+        _SWEEP_CACHE[cache_key] = fn
+    return fn(
+        C, jnp.asarray(scalars), jnp.asarray(nbrs2),
+        jnp.float32(rho_threshold),
+    )
+
+
+def _rowgather_core(C, scalars, nbrs2, interpret: bool):
+    """Traceable row-DMA panel gather (no jit — callers fuse consumers)."""
+    nt = scalars.shape[0]
+    d = nbrs2.shape[-1] - 8
+    vp = int(C.shape[0])
+    grid_spec = _row_grid_spec(nt, d, vp, (
+        pl.BlockSpec((1, d, d), lambda i, *_: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, d), lambda i, *_: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ))
+    Cb, qb = pl.pallas_call(
+        partial(_rowgather_kernel, d=d, vp=vp),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((nt, d, d), jnp.float32),
+            jax.ShapeDtypeStruct((nt, 1, d), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(scalars, nbrs2[:, :d].reshape(nt, 1, d), C.reshape(vp * vp))
+    return Cb, qb[:, 0, :]
+
+
+def rowgather_local_panels(C, node_ixs, nbrs, deg, interpret: bool = False):
+    """(Cb (nt, d, d), qb (nt, d)) via the row-DMA gather — the
+    scattered-span sibling of :func:`gather_local_panels` (same output
+    contract: valid entries bit-identical to the XLA gathers, pad slots
+    gather the node's own row/column). Serves ANY neighbour spans."""
+    scalars, nbrs2, _ = _row_inputs(node_ixs, nbrs, deg)
+    nt, d = np.asarray(nbrs).shape
+    vp = int(C.shape[0])
+    cache_key = ("rowgather", vp, d, nt, interpret)
+    fn = _SWEEP_CACHE.get(cache_key)
+    if fn is None:
+        def gather(C_, scalars_, nbrs2_):
+            return _rowgather_core(C_, scalars_, nbrs2_, interpret)
+
+        fn = jax.jit(gather)
+        _SWEEP_CACHE[cache_key] = fn
+    return fn(C, jnp.asarray(scalars), jnp.asarray(nbrs2))
+
+
+def rowgather_apply(C, node_ixs, nbrs, deg, consumer, key, extra=(),
+                    interpret: bool = False):
+    """Run ``consumer(Cb, qb, deg, *extra)`` on row-DMA-gathered panels in
+    ONE jitted dispatch — the scattered-span sibling of
+    :func:`gather_apply` (which serves windowed spans). Never returns
+    None: the row gather has no span constraint."""
+    scalars, nbrs2, deg = _row_inputs(node_ixs, nbrs, deg)
+    nt, d = np.asarray(nbrs).shape
+    vp = int(C.shape[0])
+    cache_key = (key, "rowapply", vp, d, nt, interpret)
+    fn = _FUSED_CACHE.get(cache_key)
+    if fn is None:
+        def fused(C_, scalars_, nbrs2_, deg_, *extra_):
+            Cb, qb = _rowgather_core(C_, scalars_, nbrs2_, interpret)
+            return consumer(Cb, qb, deg_, *extra_)
+
+        fn = jax.jit(fused)
+        _FUSED_CACHE[cache_key] = fn
+    return fn(
+        C, jnp.asarray(scalars), jnp.asarray(nbrs2),
+        jnp.asarray(np.asarray(deg)), *extra,
+    )
 
 
 def _sweep_core(C, scalars, rowix, nbrs2, W: int, l: int, ct: int,

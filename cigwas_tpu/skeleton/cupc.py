@@ -243,6 +243,40 @@ def _pallas_sweep_route(C_dev, d_pad: int):
     return pg.sweep_apply
 
 
+def _pallas_rowsweep_route(C_dev, d_pad: int):
+    """Row-DMA gather+sweep route (no span constraint): same gates as
+    the windowed sweep route, used for node groups whose neighbour spans
+    exceed any window (chance correlations at genome-scale blocks).
+
+    Extra gate vs the windowed route: the kernel DMAs rows through a 1-D
+    view of C, whose slices Mosaic requires 1024-element-aligned — so on
+    the compiled path vp must be a multiple of 1024 (the 11k-class panels
+    it was built for are; interpret mode has no such constraint)."""
+    if PALLAS_SWEEP == "0":
+        return None
+    from cigwas_tpu.ops.pallas import panel_gather as pg
+
+    vp = int(C_dev.shape[0])
+    if vp % 128 or d_pad < 32 or d_pad > 256:
+        return None
+    try:
+        on_tpu = next(iter(C_dev.devices())).platform == "tpu"
+    except Exception:
+        on_tpu = False
+    if on_tpu and vp % 1024:
+        return None
+    if PALLAS_SWEEP == "auto" and vp < 4096:
+        # same small-panel gate as the windowed route: per-node grid
+        # overhead (plus d+8 full-row DMAs here) loses to the few-launch
+        # XLA route below the 11k-class panels it was built for
+        return None
+    if PALLAS_SWEEP == "1":
+        return partial(pg.rowsweep_apply, interpret=not on_tpu)
+    if PALLAS_SWEEP != "auto" or not on_tpu:
+        return None
+    return pg.rowsweep_apply
+
+
 def _sweep_ct(d_pad: int) -> int:
     """Largest multiple-of-8 divisor of d_pad whose (ct, d, d) chunk cube
     fits SWEEP_CUBE_BUDGET floats (min 8)."""
@@ -490,6 +524,7 @@ def _run_level_local1(
     rho_threshold: float,
     verbose: bool = False,
     want_rho: bool = True,
+    stats: dict | None = None,
 ):
     """Level 1 via the neighbour-list local sweep (lanes layout).
 
@@ -500,6 +535,19 @@ def _run_level_local1(
     (rho_sel None when want_rho=False — the production want_pmax=False
     path, which then rides the lean hit-bits fetch).
     """
+    t_mark = time.perf_counter()
+
+    def mark(name, amt=None):
+        nonlocal t_mark
+        if stats is not None:
+            det = stats.setdefault("level_detail", {}).setdefault(1, {})
+            if amt is not None:
+                det[name] = det.get(name, 0) + amt
+            else:
+                now = time.perf_counter()
+                det[name] = det.get(name, 0.0) + (now - t_mark)
+                t_mark = now
+
     n = G.shape[0]
     Gb = G.astype(bool)
     deg_all = Gb.sum(axis=1)
@@ -537,16 +585,30 @@ def _run_level_local1(
           sweep_cap = (
               256 if _pallas_sweep_route(C_dev, 128) is not None else None
           )
+          row_cap = (
+              256 if _pallas_rowsweep_route(C_dev, 128) is not None else None
+          )
           for d_pad, nodes, _ct, node_tile in _local_tile_plan(
               deg_all, nodes_grp, 1,
-              d_cap=sweep_cap if grp_gather else None,
+              d_cap=sweep_cap if grp_gather else row_cap,
           ):
             gather = _pallas_gather_route(C_dev, d_pad) if grp_gather else None
             sweepfn = _pallas_sweep_route(C_dev, d_pad) if grp_gather else None
+            if sweepfn is None:
+                # wide spans: the row-DMA kernel serves the same buckets
+                # without any window constraint
+                sweepfn = _pallas_rowsweep_route(C_dev, d_pad)
             if sweepfn is not None:
                 # fused-kernel launches cover the whole bucket (see
                 # _run_level_local): per-grid-step VMEM is bounded
                 node_tile = _next_pow2(len(nodes))
+            if stats is not None:
+                stats.setdefault("level_detail", {}).setdefault(
+                    1, {}
+                ).setdefault("plan", []).append(
+                    (int(d_pad), int(len(nodes)), int(node_tile),
+                     bool(grp_gather), sweepfn is not None)
+                )
             for s0 in range(0, len(nodes), node_tile):
                 tile = nodes[s0 : s0 + node_tile]
                 pad = node_tile - len(tile)
@@ -581,6 +643,8 @@ def _run_level_local1(
                         jnp.asarray(deg),
                     )
                 pending.append((tile, nbrs, deg, rho_dev, pos_dev))
+        mark("dispatch")
+        mark("launches", len(pending))
         for _, _, _, rho_dev, pos_dev in pending:
             if isinstance(rho_dev, tuple):
                 for h in rho_dev:
@@ -589,6 +653,7 @@ def _run_level_local1(
                 rho_dev.copy_to_host_async()
             if pos_dev is not None:
                 pos_dev.copy_to_host_async()
+        _first = True
         for tile, nbrs, deg, rho_dev, pos_dev in pending:
             nt_real = len(tile)
             d_pad = nbrs.shape[1]
@@ -607,12 +672,16 @@ def _run_level_local1(
                 rho_c = np.asarray(rho_dev)
                 pos_c = np.asarray(pos_dev)
                 hit = valid & (rho_c[:nt_real] < np.float32(rho_threshold))
+            if _first:
+                mark("device_wait")
+                _first = False
             ri, ci = np.nonzero(hit)
             xs_l.append(tile[ri])
             ys_l.append(nbrs[ri, ci])
             s_l.append(nbrs[ri, pos_c[ri, ci]])
             if rho_c is not None:
                 rho_l.append(rho_c[ri, ci])
+        mark("fetch_scatter")
         if verbose:
             print(f"[level 1] local-sweep launches: {len(pending)}")
     xs = np.concatenate(xs_l) if xs_l else np.empty(0, np.int64)
@@ -758,12 +827,17 @@ def _run_level_local(
         256 if engine is None and _pallas_sweep_route(C_dev, 128) is not None
         else None
     )
+    row_cap = (
+        256
+        if engine is None and _pallas_rowsweep_route(C_dev, 128) is not None
+        else None
+    )
     pending = []
     for nodes_grp, grp_gather in groups:
       if nodes_grp.size == 0:
         continue
       for d_pad, nodes, ct, node_tile in _local_tile_plan(
-          deg_all, nodes_grp, l, d_cap=sweep_cap if grp_gather else None
+          deg_all, nodes_grp, l, d_cap=sweep_cap if grp_gather else row_cap
       ):
         gather = (
             _pallas_gather_route(C_dev, d_pad)
@@ -773,6 +847,9 @@ def _run_level_local(
             _pallas_sweep_route(C_dev, d_pad)
             if engine is None and grp_gather else None
         )
+        if sweepfn is None and engine is None:
+            # wide spans: the row-DMA kernel has no window constraint
+            sweepfn = _pallas_rowsweep_route(C_dev, d_pad)
         if sweepfn is not None:
             # fused-kernel launches cover the WHOLE bucket: per-grid-step
             # VMEM is bounded, so the XLA fusion-budget tile cap does not
@@ -933,6 +1010,7 @@ def _run_level_local_hetcor1(
     th: float,
     verbose: bool = False,
     stats: dict | None = None,
+    time_index: np.ndarray | None = None,
 ):
     """Hetcor level 1 via the neighbour-list local sweep (bucketed tiles).
 
@@ -941,6 +1019,12 @@ def _run_level_local_hetcor1(
     sum(deg^2) cost instead of v^3: the dense sweep's per-slot tanh made
     level 1 the dominant wall at summary-stat panel sizes, exactly like
     the plain skeleton's r4 level-1 wall (VERDICT r4 #1/#3).
+
+    When the windowed DMA gather route qualifies, BOTH the correlation
+    and per-pair-ESS local panels ride it (the XLA element gather of two
+    (nt, d, d) panels was the measured bound — 15.4 s of device wait over
+    79 launches at the 10k cuskss bench); the time indices are gathered
+    on host (time_index) and the margins are bit-identical either way.
     """
     t_mark = time.perf_counter()
 
@@ -962,7 +1046,23 @@ def _run_level_local_hetcor1(
     margin_full = np.full((n, n), np.inf, dtype=np.float32)
     mark("host_alloc")
     pending = []
-    for d_pad, nodes, _ct, node_tile in _local_tile_plan(deg_all, active, 1):
+    # the two-panel gathers need host time indices; without them the
+    # XLA-gather fallback is used throughout. Windowed spans ride the
+    # window kernel; scattered spans the row-DMA kernel (chance
+    # correlations scatter ~every node's span at summary-stat scale, so
+    # without the row route the 15.4 s XLA device wait stays).
+    use_gather = time_index is not None and _pallas_gather_route(
+        C_dev, 128
+    ) is not None
+    use_rowg = time_index is not None and _pallas_rowsweep_route(
+        C_dev, 128
+    ) is not None
+    d_cap = 128 if (use_gather or use_rowg) else None
+    for d_pad, nodes, _ct, node_tile in _local_tile_plan(
+        deg_all, active, 1, d_cap=d_cap
+    ):
+        gather = _pallas_gather_route(C_dev, d_pad) if use_gather else None
+        rowg = _pallas_rowsweep_route(C_dev, d_pad) if use_rowg else None
         for s0 in range(0, len(nodes), node_tile):
             tile = nodes[s0 : s0 + node_tile]
             pad = node_tile - len(tile)
@@ -972,10 +1072,46 @@ def _run_level_local_hetcor1(
                 else tile
             )
             nbrs, deg = _compact_neighbors(Gb, tile_p, d_pad)
-            m_dev = pcorr_ops.hetcor1_local_sweep(
-                C_dev, N_dev, t_dev, jnp.asarray(tile_p), jnp.asarray(nbrs),
-                jnp.asarray(deg), jnp.float32(th),
-            )
+            m_dev = None
+            if gather is not None or rowg is not None:
+                from cigwas_tpu.ops.pallas import panel_gather as pg
+
+                route = gather if gather is not None else rowg
+                interp = (
+                    getattr(route, "keywords", None) or {}
+                ).get("interpret", False)
+                got_n = (
+                    pg.gather_local_panels(
+                        N_dev, tile_p, nbrs, deg, interpret=interp
+                    )
+                    if gather is not None else None
+                )
+                apply_fn = pg.gather_apply if got_n is not None else None
+                if got_n is None and rowg is not None:
+                    got_n = pg.rowgather_local_panels(
+                        N_dev, tile_p, nbrs, deg, interpret=interp
+                    )
+                    apply_fn = pg.rowgather_apply
+                if got_n is not None:
+                    Nb, nr = got_n
+                    tn = time_index[nbrs].astype(np.float32)
+                    tx = time_index[tile_p].astype(np.float32)
+                    m_dev = apply_fn(
+                        C_dev, tile_p, nbrs, deg,
+                        consumer=lambda Cb, qb, dg, Nb_, nr_, tn_, tx_, th_:
+                            pcorr_ops.hetcor1_local_sweep_pre(
+                                Cb, qb, Nb_, nr_, tn_, tx_, dg, th_
+                            ),
+                        key=("hetcor1",),
+                        extra=(Nb, nr, jnp.asarray(tn), jnp.asarray(tx),
+                               jnp.float32(th)),
+                        interpret=interp,
+                    )
+            if m_dev is None:
+                m_dev = pcorr_ops.hetcor1_local_sweep(
+                    C_dev, N_dev, t_dev, jnp.asarray(tile_p),
+                    jnp.asarray(nbrs), jnp.asarray(deg), jnp.float32(th),
+                )
             pending.append((tile, nbrs, deg, m_dev))
     mark("dispatch")
     for _, _, _, m_dev in pending:
@@ -1508,7 +1644,7 @@ def skeleton(
             if l1_local_now:
                 removed, (xs, ys, s_sel, rho_sel) = _run_level_local1(
                     C_dev, G, rho_th, verbose=verbose,
-                    want_rho=pmax is not None,
+                    want_rho=pmax is not None, stats=stats,
                 )
             elif engine is not None:
                 removed, (xs, ys, s_sel, rho_sel) = _run_level_dense1_engine(
@@ -1723,7 +1859,7 @@ def hetcor_skeleton(
             # margins to the dense route (see hetcor1_local_sweep)
             removed = _run_level_local_hetcor1(
                 C_dev, N_dev, t_dev, G.astype(np.int32), float(threshold),
-                verbose=verbose, stats=stats,
+                verbose=verbose, stats=stats, time_index=time_index,
             )
         elif l == 1 and n <= DENSE_L1_MAX:
             # dense masked sweep, one dispatch (same tests as the

@@ -258,3 +258,80 @@ def test_reduce_gc_device_arrays_gather_on_device():
     np.testing.assert_array_equal(host.C, dev.C)
     np.testing.assert_array_equal(host.S, dev.S)
     np.testing.assert_array_equal(host.G, dev.G)
+
+
+def test_hetcor1_pallas_gather_route_matches_xla(monkeypatch):
+    """Hetcor level 1 through the windowed DMA gather (both C and N
+    panels) must match the XLA-gather route bit-for-bit (margins ->
+    identical removals), NaN-holed ESS and time indices included."""
+    import jax.numpy as jnp
+
+    import cigwas_tpu.skeleton.cupc as cupc
+
+    rng = np.random.default_rng(12)
+    v, n = 120, 4000
+    # AR(1) panel: level-1 entry degrees ~70 > the gather route's minimum
+    # width of 32, so the windowed route actually fires
+    L = rng.normal(size=(v, n))
+    for i in range(1, v):
+        L[i] = 0.92 * L[i - 1] + np.sqrt(1 - 0.92**2) * L[i]
+    C = np.corrcoef(L).astype(np.float32)
+    N = _random_ess(rng, v, n)
+    t_ix = rng.integers(0, 2, size=v).astype(np.int32)
+    th = hetcor_threshold(1e-3)
+    G0 = np.ones((v, v), np.int32)
+    out = {}
+    for flag in ("0", "1"):
+        monkeypatch.setattr(cupc, "PALLAS_GATHER", flag)
+        stats = {}
+        res = hetcor_skeleton(
+            jnp.asarray(C), G0, jnp.asarray(N), th, 2, time_index=t_ix,
+            stats=stats,
+        )
+        out[flag] = res.G
+    np.testing.assert_array_equal(out["0"], out["1"])
+
+
+def test_hetcor1_rowgather_route_scattered_matches_xla(monkeypatch):
+    """Hetcor level 1 with SCATTERED neighbour spans (no window fits)
+    must ride the row-DMA gather for both panels and produce removals
+    identical to the XLA route."""
+    import jax.numpy as jnp
+
+    from cigwas_tpu.ops.pallas import panel_gather as pg
+    import cigwas_tpu.skeleton.cupc as cupc
+
+    rng = np.random.default_rng(44)
+    v, n, hubs, dh = 2176, 5000, 40, 48
+    C = (0.2 * rng.normal(size=(v, v))).astype(np.float32)
+    C = ((C + C.T) / 2).astype(np.float32)
+    np.fill_diagonal(C, 1.0)
+    N = _random_ess(rng, v, n)
+    t_ix = rng.integers(0, 2, size=v).astype(np.int32)
+    th = hetcor_threshold(1e-3)
+    G = np.zeros((v, v), np.int32)
+    for h in rng.choice(v, hubs, replace=False):
+        nb = rng.choice(v, dh, replace=False)
+        nb = nb[nb != h]
+        G[h, nb] = 1
+        G[nb, h] = 1
+    C_dev, N_dev = jnp.asarray(C), jnp.asarray(N)
+    t_dev = jnp.asarray(t_ix.astype(np.float32))
+
+    def run(flag):
+        monkeypatch.setattr(cupc, "PALLAS_GATHER", flag)
+        monkeypatch.setattr(cupc, "PALLAS_SWEEP", flag)
+        return cupc._run_level_local_hetcor1(
+            C_dev, N_dev, t_dev, G, float(th), time_index=t_ix
+        )
+
+    n_row = lambda: sum(
+        1 for k in pg._FUSED_CACHE
+        if isinstance(k, tuple) and "rowapply" in k
+    )
+    before = n_row()
+    a = run("0")
+    assert n_row() == before
+    b = run("1")
+    assert n_row() > before  # the row-DMA gather actually fired
+    np.testing.assert_array_equal(a, b)

@@ -250,3 +250,114 @@ def test_skeleton_route_parity_pallas_fused_sweep(monkeypatch, want_pmax):
     assert np.array_equal(a.sepset, b.sepset)
     if want_pmax:
         assert np.array_equal(a.pmax, b.pmax)
+
+
+@pytest.mark.parametrize("l", [1, 2, 3])
+def test_rowsweep_scattered_neighbours_matches_xla(l):
+    """The row-DMA gather+sweep kernel serves nodes whose neighbour spans
+    fit NO window (chance correlations at genome scale); outputs must
+    match the XLA local sweeps exactly — scattered neighbours, NaNs and
+    pad slots included."""
+    from cigwas_tpu.ops import pcorr as pcorr_ops
+    from cigwas_tpu.ops.pallas.panel_gather import plan_window, rowsweep_apply
+
+    rng = np.random.default_rng(21)
+    vp, nt, d = 2176, 9, 64
+    C = (0.4 * rng.normal(size=(vp, vp))).astype(np.float32)
+    C = ((C + C.T) / 2).astype(np.float32)
+    C[rng.random((vp, vp)) < 0.005] = np.nan
+    np.fill_diagonal(C, 1.0)
+    nbrs = np.sort(rng.choice(vp, size=(nt, d), replace=True), axis=1).astype(
+        np.int32
+    )  # full-panel spans
+    node_ixs = rng.integers(0, vp, nt).astype(np.int32)
+    deg = rng.integers(max(4, d // 2), d + 1, nt).astype(np.int32)
+    sl = np.arange(d)[None, :]
+    nbrs = np.where(sl < deg[:, None], nbrs, 0)
+    assert plan_window(node_ixs, nbrs, deg, vp) is None  # no window fits
+
+    ct = 16 if l == 2 else 8
+    got = rowsweep_apply(C, node_ixs, nbrs, deg, l, ct, 0.5, True,
+                         interpret=True)
+    packed = np.asarray(got)
+    rho_k = packed[:, :, 0]
+    pos_k = packed[:, :, 1:].astype(np.int32)
+    C_dev = jnp.asarray(C)
+    if l == 1:
+        rho_x, pos_x = pcorr_ops.level1_local_sweep(
+            C_dev, jnp.asarray(node_ixs), jnp.asarray(nbrs), jnp.asarray(deg))
+        pos_x = np.asarray(pos_x)[:, :, None]
+    elif l == 2:
+        rho_x, pos_x = pcorr_ops.level2_local_sweep(
+            C_dev, jnp.asarray(node_ixs), jnp.asarray(nbrs), jnp.asarray(deg),
+            ct)
+    else:
+        rho_x, pos_x = pcorr_ops.level3_local_sweep(
+            C_dev, jnp.asarray(node_ixs), jnp.asarray(nbrs), jnp.asarray(deg),
+            ct)
+    rho_x = np.asarray(rho_x)
+    pos_x = np.asarray(pos_x).reshape(nt, d, l)
+    valid = np.arange(d)[None, :] < deg[:, None]
+    # positions (the sepset decisions) must be bit-exact; rho may drift
+    # HERE ONLY because XLA:CPU contracts the sweep's a*b - c*d into FMA
+    # differently across the interpret-mode kernel and the jitted XLA
+    # sweep — a 1-ULP operand perturbation that cancellation amplifies on
+    # near-zero rho (measured <= 3e-8 absolute, positions identical). On
+    # the TPU the compiled kernel is bit-identical to the XLA route
+    # (scripts/probe_r5_rowsweep.py).
+    assert np.array_equal(pos_k[valid], pos_x[valid])
+    np.testing.assert_allclose(
+        rho_k[valid], rho_x[valid], rtol=1e-5, atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("l", [1, 2])
+def test_level_local_rowsweep_route_decision_parity(l, monkeypatch):
+    """`_run_level_local{1,}` with scattered-span nodes (no window fits)
+    must route them through the row-DMA kernel when the Pallas routes are
+    on, and the DECISIONS (removals, sepset positions) must match the
+    XLA route exactly."""
+    from cigwas_tpu.ops.pallas import panel_gather as pg
+    from cigwas_tpu.skeleton import cupc
+
+    rng = np.random.default_rng(33)
+    v, hubs, dh = 2176, 48, 40
+    C = (0.25 * rng.normal(size=(v, v))).astype(np.float32)
+    C = ((C + C.T) / 2).astype(np.float32)
+    np.fill_diagonal(C, 1.0)
+    G = np.zeros((v, v), np.int32)
+    hub_ix = rng.choice(v, hubs, replace=False)
+    for h in hub_ix:
+        nb = rng.choice(v, dh, replace=False)
+        nb = nb[nb != h]
+        G[h, nb] = 1
+        G[nb, h] = 1
+    C_dev = jnp.asarray(C)
+    th = 0.15
+
+    def run(flag):
+        monkeypatch.setattr(cupc, "PALLAS_GATHER", flag)
+        monkeypatch.setattr(cupc, "PALLAS_SWEEP", flag)
+        if l == 1:
+            return cupc._run_level_local1(C_dev, G, th, want_rho=False)
+        return cupc._run_level_local(C_dev, G, l, th, want_rho=False)
+
+    n_row_keys = lambda: sum(
+        1 for k in pg._SWEEP_CACHE if k[0] == "rowsweep"
+    )
+    before = n_row_keys()
+    ra, ta = run("0")
+    assert n_row_keys() == before
+    rb, tb = run("1")
+    assert n_row_keys() > before  # the row-DMA kernel actually fired
+    # _run_level_local1 returns (xs, ys, sep, rho); _run_level_local
+    # returns (xs, ys, rho, sep)
+    if l == 1:
+        (xa, ya, sa, _), (xb, yb, sb, _) = ta, tb
+    else:
+        (xa, ya, _, sa), (xb, yb, _, sb) = ta, tb
+    assert np.array_equal(ra, rb)
+    oa, ob = np.lexsort((ya, xa)), np.lexsort((yb, xb))
+    assert np.array_equal(xa[oa], xb[ob])
+    assert np.array_equal(ya[oa], yb[ob])
+    assert np.array_equal(np.asarray(sa)[oa], np.asarray(sb)[ob])
