@@ -416,6 +416,21 @@ def _sweep_tail(Cb, qb, deg_i, rho_ref, pos_ref, *, d: int, l: int, ct: int):
 
 ROW_CHUNK = 8
 COL_BLOCK = 1024
+# the row-DMA kernels' scalar-prefetch operand is the (nt, d + 9) int32
+# DMA row-index table, which Mosaic places in SMEM (~1 MB total);
+# launches are capped so it fits with headroom (measured: an uncapped
+# 16384-node launch at the 11k block asked for a 16 MB SMEM allocation
+# and failed to compile)
+ROW_SCALARS_SMEM_BUDGET = 448 * 1024
+
+
+def rowsweep_max_nt(d_pad: int) -> int:
+    """Largest pow2 launch width whose scalar table fits the SMEM budget."""
+    cap = ROW_SCALARS_SMEM_BUDGET // (4 * (d_pad + 9))
+    nt = 64
+    while nt * 2 <= cap:
+        nt *= 2
+    return nt
 
 
 def _row_gather_panel(sc_ref, nbv_ref, C1d, rows_buf, cb_buf, sem,

@@ -594,14 +594,23 @@ def _run_level_local1(
           ):
             gather = _pallas_gather_route(C_dev, d_pad) if grp_gather else None
             sweepfn = _pallas_sweep_route(C_dev, d_pad) if grp_gather else None
+            is_row = False
             if sweepfn is None:
                 # wide spans: the row-DMA kernel serves the same buckets
                 # without any window constraint
                 sweepfn = _pallas_rowsweep_route(C_dev, d_pad)
+                is_row = sweepfn is not None
             if sweepfn is not None:
                 # fused-kernel launches cover the whole bucket (see
-                # _run_level_local): per-grid-step VMEM is bounded
+                # _run_level_local): per-grid-step VMEM is bounded; the
+                # row kernel's DMA index table must also fit SMEM
                 node_tile = _next_pow2(len(nodes))
+                if is_row:
+                    from cigwas_tpu.ops.pallas.panel_gather import (
+                        rowsweep_max_nt,
+                    )
+
+                    node_tile = min(node_tile, rowsweep_max_nt(d_pad))
             if stats is not None:
                 stats.setdefault("level_detail", {}).setdefault(
                     1, {}
@@ -847,15 +856,24 @@ def _run_level_local(
             _pallas_sweep_route(C_dev, d_pad)
             if engine is None and grp_gather else None
         )
+        is_row = False
         if sweepfn is None and engine is None:
             # wide spans: the row-DMA kernel has no window constraint
             sweepfn = _pallas_rowsweep_route(C_dev, d_pad)
+            is_row = sweepfn is not None
         if sweepfn is not None:
             # fused-kernel launches cover the WHOLE bucket: per-grid-step
             # VMEM is bounded, so the XLA fusion-budget tile cap does not
             # apply (nt pow2-bucketed for the jit cache; dup-node results
-            # are discarded by the [:nt_real] slice at fetch)
+            # are discarded by the [:nt_real] slice at fetch). The row
+            # kernel's DMA index table must also fit SMEM.
             node_tile = _next_pow2(len(nodes))
+            if is_row:
+                from cigwas_tpu.ops.pallas.panel_gather import (
+                    rowsweep_max_nt,
+                )
+
+                node_tile = min(node_tile, rowsweep_max_nt(d_pad))
             ct = _sweep_ct(d_pad)
         if engine is not None:
             # BYTE-IDENTITY INVARIANT: XLA's fused elementwise numerics for
@@ -1043,7 +1061,7 @@ def _run_level_local_hetcor1(
     removed = np.zeros((n, n), dtype=bool)
     if active.size == 0:
         return removed
-    margin_full = np.full((n, n), np.inf, dtype=np.float32)
+    cond = np.zeros((n, n), dtype=bool)
     mark("host_alloc")
     pending = []
     # the two-panel gathers need host time indices; without them the
@@ -1063,6 +1081,11 @@ def _run_level_local_hetcor1(
     ):
         gather = _pallas_gather_route(C_dev, d_pad) if use_gather else None
         rowg = _pallas_rowsweep_route(C_dev, d_pad) if use_rowg else None
+        if rowg is not None:
+            from cigwas_tpu.ops.pallas.panel_gather import rowsweep_max_nt
+
+            # the row kernels' DMA index table must fit SMEM
+            node_tile = min(node_tile, rowsweep_max_nt(d_pad))
         for s0 in range(0, len(nodes), node_tile):
             tile = nodes[s0 : s0 + node_tile]
             pad = node_tile - len(tile)
@@ -1098,17 +1121,22 @@ def _run_level_local_hetcor1(
                     tx = time_index[tile_p].astype(np.float32)
                     m_dev = apply_fn(
                         C_dev, tile_p, nbrs, deg,
+                        # hit-bits on device: only the margin SIGN is
+                        # consumed, and the f32 margin fetch dominated
+                        # the cuskss level-1 wall over the relay
                         consumer=lambda Cb, qb, dg, Nb_, nr_, tn_, tx_, th_:
-                            pcorr_ops.hetcor1_local_sweep_pre(
-                                Cb, qb, Nb_, nr_, tn_, tx_, dg, th_
+                            jnp.packbits(
+                                pcorr_ops.hetcor1_local_sweep_pre(
+                                    Cb, qb, Nb_, nr_, tn_, tx_, dg, th_
+                                ) < 0, axis=1,
                             ),
-                        key=("hetcor1",),
+                        key=("hetcor1bits",),
                         extra=(Nb, nr, jnp.asarray(tn), jnp.asarray(tx),
                                jnp.float32(th)),
                         interpret=interp,
                     )
             if m_dev is None:
-                m_dev = pcorr_ops.hetcor1_local_sweep(
+                m_dev = pcorr_ops.hetcor1_local_sweep_bits(
                     C_dev, N_dev, t_dev, jnp.asarray(tile_p),
                     jnp.asarray(nbrs), jnp.asarray(deg), jnp.float32(th),
                 )
@@ -1118,15 +1146,16 @@ def _run_level_local_hetcor1(
         m_dev.copy_to_host_async()
     first = True
     for tile, nbrs, deg, m_dev in pending:
-        m_c = np.asarray(m_dev)
+        bits = np.asarray(m_dev)
         if first:
             mark("device_wait")
             first = False
         nt_real = len(tile)
         d_pad = nbrs.shape[1]
+        hit = np.unpackbits(bits, axis=1, count=d_pad).astype(bool)[:nt_real]
         valid = np.arange(d_pad)[None, :] < deg[:nt_real, None]
-        ri, ci = np.nonzero(valid)
-        margin_full[tile[ri], nbrs[ri, ci]] = m_c[ri, ci]
+        ri, ci = np.nonzero(hit & valid)
+        cond[tile[ri], nbrs[ri, ci]] = True
     mark("fetch_scatter")
     if stats is not None:
         stats.setdefault("level_detail", {}).setdefault(1, {})["launches"] = (
@@ -1134,7 +1163,7 @@ def _run_level_local_hetcor1(
         )
     if verbose:
         print(f"[hetcor level 1] local-sweep launches: {len(pending)}")
-    cond = (margin_full < 0) & Gb
+    cond &= Gb
     return cond | cond.T
 
 
