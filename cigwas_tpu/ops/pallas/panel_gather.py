@@ -416,21 +416,6 @@ def _sweep_tail(Cb, qb, deg_i, rho_ref, pos_ref, *, d: int, l: int, ct: int):
 
 ROW_CHUNK = 8
 COL_BLOCK = 1024
-# the row-DMA kernels' scalar-prefetch operand is the (nt, d + 9) int32
-# DMA row-index table, which Mosaic places in SMEM (~1 MB total);
-# launches are capped so it fits with headroom (measured: an uncapped
-# 16384-node launch at the 11k block asked for a 16 MB SMEM allocation
-# and failed to compile)
-ROW_SCALARS_SMEM_BUDGET = 448 * 1024
-
-
-def rowsweep_max_nt(d_pad: int) -> int:
-    """Largest pow2 launch width whose scalar table fits the SMEM budget."""
-    cap = ROW_SCALARS_SMEM_BUDGET // (4 * (d_pad + 9))
-    nt = 64
-    while nt * 2 <= cap:
-        nt *= 2
-    return nt
 
 
 def _row_gather_panel(sc_ref, nbv_ref, C1d, rows_buf, cb_buf, sem,
@@ -451,13 +436,18 @@ def _row_gather_panel(sc_ref, nbv_ref, C1d, rows_buf, cb_buf, sem,
     exact one-hot matmul as the windowed kernel, blocked over vp so VMEM
     holds only ROW_CHUNK rows. Bit-identical to the XLA gather (NaNs via
     the parallel count matmul).
+
+    ``sc_ref`` is a per-step (1, d + 9) SMEM WINDOW of the index table,
+    not a scalar-prefetch operand: a program only reads ITS OWN row, and
+    whole-table prefetch put nt * (d + 9) int32 in SMEM — an uncapped
+    16384-node launch at the 11k block asked for 16 MB of the ~1 MB SMEM
+    and failed to compile. The window keeps SMEM at ~2 KB for any nt.
     """
-    i = pl.program_id(0)
     n_rch = (d + 8) // ROW_CHUNK
     nbr = nbv_ref[0, 0, :d]
 
     def row_dma(slot, r_global):
-        idx = sc_ref[i, r_global]
+        idx = sc_ref[0, 0, r_global]
         return pltpu.make_async_copy(
             C1d.at[pl.ds(idx * vp, vp)],
             rows_buf.at[pl.ds(slot * vp, vp)],
@@ -513,10 +503,9 @@ def _rowsweep_kernel(sc_ref, nbv_ref, C1d, rho_ref, pos_ref, rows_buf,
     `_sweep_kernel`'s scattered-span sibling)."""
     _row_gather_panel(sc_ref, nbv_ref, C1d, rows_buf, cb_buf, sem,
                       d=d, vp=vp)
-    i = pl.program_id(0)
     Cb = cb_buf[:d, :]
     qb = cb_buf[d, :]
-    deg_i = sc_ref[i, d + 8]
+    deg_i = sc_ref[0, 0, d + 8]
     _sweep_tail(Cb, qb, deg_i, rho_ref, pos_ref, d=d, l=l, ct=ct)
 
 
@@ -531,15 +520,34 @@ def _rowgather_kernel(sc_ref, nbv_ref, C1d, Cb_ref, qb_ref, rows_buf,
     qb_ref[0, 0] = cb_buf[d, :]
 
 
-def _row_grid_spec(nt: int, d: int, vp: int, out_specs, n_extra_scalars=0):
+def _rowgather2_kernel(sc_ref, nbv_ref, C1d, N1d, Cb_ref, qb_ref, Nb_ref,
+                       nr_ref, rows_buf, cb_buf, sem, *, d: int, vp: int):
+    """Row-DMA gather of TWO panels' local blocks in ONE kernel (hetcor
+    consumes matched correlation + per-pair-ESS panels; a second gather
+    dispatch per launch costs a relay round trip)."""
+    _row_gather_panel(sc_ref, nbv_ref, C1d, rows_buf, cb_buf, sem,
+                      d=d, vp=vp)
+    Cb_ref[0] = cb_buf[:d, :]
+    qb_ref[0, 0] = cb_buf[d, :]
+    _row_gather_panel(sc_ref, nbv_ref, N1d, rows_buf, cb_buf, sem,
+                      d=d, vp=vp)
+    Nb_ref[0] = cb_buf[:d, :]
+    nr_ref[0, 0] = cb_buf[d, :]
+
+
+def _row_grid_spec(nt: int, d: int, vp: int, out_specs, n_panels: int = 1):
     return pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=0,
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((1, 1, d), lambda i, *_: (i, 0, 0),
+            # per-step SMEM window of the DMA index table (see
+            # _row_gather_panel: whole-table scalar prefetch blew SMEM);
+            # 3-D so the (1, d + 9) window passes the block-shape rule
+            pl.BlockSpec((1, 1, d + 9), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        ] + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_panels,
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2 * ROW_CHUNK * vp,), jnp.float32),
@@ -554,9 +562,9 @@ def _rowsweep_core(C, scalars, nbrs2, l: int, ct: int, interpret: bool):
     d = nbrs2.shape[-1] - 8
     vp = int(C.shape[0])
     grid_spec = _row_grid_spec(nt, d, vp, (
-        pl.BlockSpec((1, 1, d), lambda i, *_: (i, 0, 0),
+        pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, l, d), lambda i, *_: (i, 0, 0),
+        pl.BlockSpec((1, l, d), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ))
     rho, pos = pl.pallas_call(
@@ -568,7 +576,8 @@ def _rowsweep_core(C, scalars, nbrs2, l: int, ct: int, interpret: bool):
         ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(scalars, nbrs2[:, :d].reshape(nt, 1, d), C.reshape(vp * vp))
+    )(scalars.reshape(nt, 1, d + 9), nbrs2[:, :d].reshape(nt, 1, d),
+      C.reshape(vp * vp))
     return rho[:, 0, :], jnp.transpose(pos, (0, 2, 1))
 
 
@@ -620,9 +629,9 @@ def _rowgather_core(C, scalars, nbrs2, interpret: bool):
     d = nbrs2.shape[-1] - 8
     vp = int(C.shape[0])
     grid_spec = _row_grid_spec(nt, d, vp, (
-        pl.BlockSpec((1, d, d), lambda i, *_: (i, 0, 0),
+        pl.BlockSpec((1, d, d), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, d), lambda i, *_: (i, 0, 0),
+        pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ))
     Cb, qb = pl.pallas_call(
@@ -634,8 +643,40 @@ def _rowgather_core(C, scalars, nbrs2, interpret: bool):
         ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(scalars, nbrs2[:, :d].reshape(nt, 1, d), C.reshape(vp * vp))
+    )(scalars.reshape(nt, 1, d + 9), nbrs2[:, :d].reshape(nt, 1, d),
+      C.reshape(vp * vp))
     return Cb, qb[:, 0, :]
+
+
+def _rowgather2_core(C, N, scalars, nbrs2, interpret: bool):
+    """Traceable TWO-panel row-DMA gather: ((Cb, qb), (Nb, nr))."""
+    nt = scalars.shape[0]
+    d = nbrs2.shape[-1] - 8
+    vp = int(C.shape[0])
+    grid_spec = _row_grid_spec(nt, d, vp, (
+        pl.BlockSpec((1, d, d), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d, d), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ), n_panels=2)
+    Cb, qb, Nb, nr = pl.pallas_call(
+        partial(_rowgather2_kernel, d=d, vp=vp),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((nt, d, d), jnp.float32),
+            jax.ShapeDtypeStruct((nt, 1, d), jnp.float32),
+            jax.ShapeDtypeStruct((nt, d, d), jnp.float32),
+            jax.ShapeDtypeStruct((nt, 1, d), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(scalars.reshape(nt, 1, d + 9), nbrs2[:, :d].reshape(nt, 1, d),
+      C.reshape(vp * vp), N.reshape(vp * vp))
+    return Cb, qb[:, 0, :], Nb, nr[:, 0, :]
 
 
 def rowgather_local_panels(C, node_ixs, nbrs, deg, interpret: bool = False):
@@ -677,6 +718,31 @@ def rowgather_apply(C, node_ixs, nbrs, deg, consumer, key, extra=(),
         _FUSED_CACHE[cache_key] = fn
     return fn(
         C, jnp.asarray(scalars), jnp.asarray(nbrs2),
+        jnp.asarray(np.asarray(deg)), *extra,
+    )
+
+
+def rowgather2_apply(C, N, node_ixs, nbrs, deg, consumer, key, extra=(),
+                     interpret: bool = False):
+    """Run ``consumer(Cb, qb, Nb, nr, deg, *extra)`` on row-DMA-gathered
+    local panels of TWO matched arrays in ONE jitted dispatch (the hetcor
+    path needs both the correlation and per-pair-ESS panels; separate
+    gather dispatches each cost a relay round trip)."""
+    scalars, nbrs2, deg = _row_inputs(node_ixs, nbrs, deg)
+    nt, d = np.asarray(nbrs).shape
+    vp = int(C.shape[0])
+    cache_key = (key, "rowapply2", vp, d, nt, interpret)
+    fn = _FUSED_CACHE.get(cache_key)
+    if fn is None:
+        def fused(C_, N_, scalars_, nbrs2_, deg_, *extra_):
+            Cb, qb, Nb, nr = _rowgather2_core(C_, N_, scalars_, nbrs2_,
+                                              interpret)
+            return consumer(Cb, qb, Nb, nr, deg_, *extra_)
+
+        fn = jax.jit(fused)
+        _FUSED_CACHE[cache_key] = fn
+    return fn(
+        C, N, jnp.asarray(scalars), jnp.asarray(nbrs2),
         jnp.asarray(np.asarray(deg)), *extra,
     )
 

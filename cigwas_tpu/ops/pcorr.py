@@ -676,6 +676,21 @@ def hetcor1_local_sweep_bits(C, N, t_ix, node_ixs, nbrs, deg, th):
     return jnp.packbits(m < 0, axis=1)
 
 
+@partial(jax.jit, static_argnames=("ct",))
+def hetcor2_local_sweep_bits(C, N, t_ix, node_ixs, nbrs, deg, th, ct: int):
+    """`hetcor2_local_sweep` margins as removal hit-bits (see the level-1
+    variant for the fetch rationale)."""
+    m = hetcor2_local_sweep(C, N, t_ix, node_ixs, nbrs, deg, th, ct)
+    return jnp.packbits(m < 0, axis=1)
+
+
+@partial(jax.jit, static_argnames=("ct",))
+def hetcor3_local_sweep_bits(C, N, t_ix, node_ixs, nbrs, deg, th, ct: int):
+    """`hetcor3_local_sweep` margins as removal hit-bits."""
+    m = hetcor3_local_sweep(C, N, t_ix, node_ixs, nbrs, deg, th, ct)
+    return jnp.packbits(m < 0, axis=1)
+
+
 def _hetcor1_local_core(Cb_, qb_, Nbv, Nbc, nrv, nrc, tn, t_x, deg, th):
     d = qb_.shape[1]
     # lanes layout (s, y, nt) like level1_local_sweep_pre; the rho

@@ -594,23 +594,14 @@ def _run_level_local1(
           ):
             gather = _pallas_gather_route(C_dev, d_pad) if grp_gather else None
             sweepfn = _pallas_sweep_route(C_dev, d_pad) if grp_gather else None
-            is_row = False
             if sweepfn is None:
                 # wide spans: the row-DMA kernel serves the same buckets
                 # without any window constraint
                 sweepfn = _pallas_rowsweep_route(C_dev, d_pad)
-                is_row = sweepfn is not None
             if sweepfn is not None:
                 # fused-kernel launches cover the whole bucket (see
-                # _run_level_local): per-grid-step VMEM is bounded; the
-                # row kernel's DMA index table must also fit SMEM
+                # _run_level_local): per-grid-step VMEM/SMEM is bounded
                 node_tile = _next_pow2(len(nodes))
-                if is_row:
-                    from cigwas_tpu.ops.pallas.panel_gather import (
-                        rowsweep_max_nt,
-                    )
-
-                    node_tile = min(node_tile, rowsweep_max_nt(d_pad))
             if stats is not None:
                 stats.setdefault("level_detail", {}).setdefault(
                     1, {}
@@ -856,24 +847,15 @@ def _run_level_local(
             _pallas_sweep_route(C_dev, d_pad)
             if engine is None and grp_gather else None
         )
-        is_row = False
         if sweepfn is None and engine is None:
             # wide spans: the row-DMA kernel has no window constraint
             sweepfn = _pallas_rowsweep_route(C_dev, d_pad)
-            is_row = sweepfn is not None
         if sweepfn is not None:
             # fused-kernel launches cover the WHOLE bucket: per-grid-step
-            # VMEM is bounded, so the XLA fusion-budget tile cap does not
-            # apply (nt pow2-bucketed for the jit cache; dup-node results
-            # are discarded by the [:nt_real] slice at fetch). The row
-            # kernel's DMA index table must also fit SMEM.
+            # VMEM/SMEM is bounded, so the XLA fusion-budget tile cap does
+            # not apply (nt pow2-bucketed for the jit cache; dup-node
+            # results are discarded by the [:nt_real] slice at fetch)
             node_tile = _next_pow2(len(nodes))
-            if is_row:
-                from cigwas_tpu.ops.pallas.panel_gather import (
-                    rowsweep_max_nt,
-                )
-
-                node_tile = min(node_tile, rowsweep_max_nt(d_pad))
             ct = _sweep_ct(d_pad)
         if engine is not None:
             # BYTE-IDENTITY INVARIANT: XLA's fused elementwise numerics for
@@ -1081,11 +1063,6 @@ def _run_level_local_hetcor1(
     ):
         gather = _pallas_gather_route(C_dev, d_pad) if use_gather else None
         rowg = _pallas_rowsweep_route(C_dev, d_pad) if use_rowg else None
-        if rowg is not None:
-            from cigwas_tpu.ops.pallas.panel_gather import rowsweep_max_nt
-
-            # the row kernels' DMA index table must fit SMEM
-            node_tile = min(node_tile, rowsweep_max_nt(d_pad))
         for s0 in range(0, len(nodes), node_tile):
             tile = nodes[s0 : s0 + node_tile]
             pad = node_tile - len(tile)
@@ -1103,27 +1080,21 @@ def _run_level_local_hetcor1(
                 interp = (
                     getattr(route, "keywords", None) or {}
                 ).get("interpret", False)
+                tn = time_index[nbrs].astype(np.float32)
+                tx = time_index[tile_p].astype(np.float32)
+                # hit-bits on device: only the margin SIGN is consumed,
+                # and the f32 margin fetch dominated the cuskss level-1
+                # wall over the relay
                 got_n = (
                     pg.gather_local_panels(
                         N_dev, tile_p, nbrs, deg, interpret=interp
                     )
                     if gather is not None else None
                 )
-                apply_fn = pg.gather_apply if got_n is not None else None
-                if got_n is None and rowg is not None:
-                    got_n = pg.rowgather_local_panels(
-                        N_dev, tile_p, nbrs, deg, interpret=interp
-                    )
-                    apply_fn = pg.rowgather_apply
                 if got_n is not None:
                     Nb, nr = got_n
-                    tn = time_index[nbrs].astype(np.float32)
-                    tx = time_index[tile_p].astype(np.float32)
-                    m_dev = apply_fn(
+                    m_dev = pg.gather_apply(
                         C_dev, tile_p, nbrs, deg,
-                        # hit-bits on device: only the margin SIGN is
-                        # consumed, and the f32 margin fetch dominated
-                        # the cuskss level-1 wall over the relay
                         consumer=lambda Cb, qb, dg, Nb_, nr_, tn_, tx_, th_:
                             jnp.packbits(
                                 pcorr_ops.hetcor1_local_sweep_pre(
@@ -1132,6 +1103,21 @@ def _run_level_local_hetcor1(
                             ),
                         key=("hetcor1bits",),
                         extra=(Nb, nr, jnp.asarray(tn), jnp.asarray(tx),
+                               jnp.float32(th)),
+                        interpret=interp,
+                    )
+                elif rowg is not None:
+                    # both panels gathered + swept in ONE dispatch
+                    m_dev = pg.rowgather2_apply(
+                        C_dev, N_dev, tile_p, nbrs, deg,
+                        consumer=lambda Cb, qb, Nb_, nr_, dg, tn_, tx_, th_:
+                            jnp.packbits(
+                                pcorr_ops.hetcor1_local_sweep_pre(
+                                    Cb, qb, Nb_, nr_, tn_, tx_, dg, th_
+                                ) < 0, axis=1,
+                            ),
+                        key=("hetcor1bits2",),
+                        extra=(jnp.asarray(tn), jnp.asarray(tx),
                                jnp.float32(th)),
                         interpret=interp,
                     )
@@ -1177,6 +1163,7 @@ def _run_level_local_hetcor(
     verbose: bool = False,
     engine=None,
     stats: dict | None = None,
+    time_index: np.ndarray | None = None,
 ):
     """Hetcor levels 2/3 via the dense local-panel recursion: min margin
     over ALL conditioning sets per (x, y), per-test mean-ESS thresholds and
@@ -1194,9 +1181,13 @@ def _run_level_local_hetcor(
     if active.size == 0:
         return removed
 
-    sweep = {
-        2: pcorr_ops.hetcor2_local_sweep,
-        3: pcorr_ops.hetcor3_local_sweep,
+    sweep_bits = {
+        2: pcorr_ops.hetcor2_local_sweep_bits,
+        3: pcorr_ops.hetcor3_local_sweep_bits,
+    }[l]
+    sweep_pre = {
+        2: pcorr_ops.hetcor2_local_sweep_pre,
+        3: pcorr_ops.hetcor3_local_sweep_pre,
     }[l]
     if engine is not None:
         sweep = {
@@ -1211,13 +1202,31 @@ def _run_level_local_hetcor(
             )
         )
 
-    margin_full = np.full((n, n), np.inf, dtype=np.float32)
+    # same route chain as hetcor level 1: windowed DMA gather, then the
+    # row-DMA gather for scattered spans, then the XLA gather — bits
+    # fetch everywhere (only the margin sign is consumed); the sharded
+    # engines keep their margin kernels
+    use_gather = (
+        engine is None and time_index is not None
+        and _pallas_gather_route(C_dev, 128) is not None
+    )
+    use_rowg = (
+        engine is None and time_index is not None
+        and _pallas_rowsweep_route(C_dev, 128) is not None
+    )
+    cond = np.zeros((n, n), dtype=bool)
+    margin_full = (
+        np.full((n, n), np.inf, dtype=np.float32)
+        if engine is not None else None
+    )
     pending = []
     for d_pad, nodes, ct, node_tile in _local_tile_plan(deg_all, active, l):
         if engine is not None:
             # per-DEVICE shard shape == single-device launch shape (see
             # _run_level_local)
             node_tile = node_tile * engine.ndev
+        gather = _pallas_gather_route(C_dev, d_pad) if use_gather else None
+        rowg = _pallas_rowsweep_route(C_dev, d_pad) if use_rowg else None
         for s0 in range(0, len(nodes), node_tile):
             tile = nodes[s0 : s0 + node_tile]
             pad = node_tile - len(tile)
@@ -1227,10 +1236,66 @@ def _run_level_local_hetcor(
                 else tile
             )
             nbrs, deg = _compact_neighbors(Gb, tile_p, d_pad)
-            m_dev = sweep(
-                C_dev, N_dev, t_dev, jnp.asarray(tile_p), jnp.asarray(nbrs),
-                jnp.asarray(deg), float(th), ct,
-            )
+            m_dev = None
+            if gather is not None or rowg is not None:
+                from cigwas_tpu.ops.pallas import panel_gather as pg
+
+                route = gather if gather is not None else rowg
+                interp = (
+                    getattr(route, "keywords", None) or {}
+                ).get("interpret", False)
+                tn = time_index[nbrs].astype(np.float32)
+                tx = time_index[tile_p].astype(np.float32)
+                got_n = (
+                    pg.gather_local_panels(
+                        N_dev, tile_p, nbrs, deg, interpret=interp
+                    )
+                    if gather is not None else None
+                )
+                if got_n is not None:
+                    Nb, nr = got_n
+                    m_dev = pg.gather_apply(
+                        C_dev, tile_p, nbrs, deg,
+                        consumer=lambda Cb, qb, dg, Nb_, nr_, tn_, tx_, th_:
+                            jnp.packbits(
+                                sweep_pre(
+                                    Cb, qb, Nb_, nr_, tn_, tx_, dg, th_,
+                                    ct=ct,
+                                ) < 0, axis=1,
+                            ),
+                        key=(f"hetcor{l}bits", ct),
+                        extra=(Nb, nr, jnp.asarray(tn), jnp.asarray(tx),
+                               jnp.float32(th)),
+                        interpret=interp,
+                    )
+                elif rowg is not None:
+                    # both panels gathered + swept in ONE dispatch
+                    m_dev = pg.rowgather2_apply(
+                        C_dev, N_dev, tile_p, nbrs, deg,
+                        consumer=lambda Cb, qb, Nb_, nr_, dg, tn_, tx_, th_:
+                            jnp.packbits(
+                                sweep_pre(
+                                    Cb, qb, Nb_, nr_, tn_, tx_, dg, th_,
+                                    ct=ct,
+                                ) < 0, axis=1,
+                            ),
+                        key=(f"hetcor{l}bits2", ct),
+                        extra=(jnp.asarray(tn), jnp.asarray(tx),
+                               jnp.float32(th)),
+                        interpret=interp,
+                    )
+            if m_dev is None:
+                if engine is not None:
+                    m_dev = sweep(
+                        C_dev, N_dev, t_dev, jnp.asarray(tile_p),
+                        jnp.asarray(nbrs), jnp.asarray(deg), float(th), ct,
+                    )
+                else:
+                    m_dev = sweep_bits(
+                        C_dev, N_dev, t_dev, jnp.asarray(tile_p),
+                        jnp.asarray(nbrs), jnp.asarray(deg),
+                        jnp.float32(th), ct,
+                    )
             pending.append((tile, nbrs, deg, m_dev))
 
     for _, _, _, m_dev in pending:
@@ -1240,11 +1305,18 @@ def _run_level_local_hetcor(
         nt_real = len(tile)
         d_pad = nbrs.shape[1]
         valid = np.arange(d_pad)[None, :] < deg[:nt_real, None]
-        ri, ci = np.nonzero(valid)
-        margin_full[tile[ri], nbrs[ri, ci]] = m_c[ri, ci]
+        if m_c.dtype == np.uint8:  # hit-bits fetch
+            hit = np.unpackbits(m_c, axis=1, count=d_pad).astype(bool)
+            ri, ci = np.nonzero(hit[:nt_real] & valid)
+            cond[tile[ri], nbrs[ri, ci]] = True
+        else:
+            ri, ci = np.nonzero(valid)
+            margin_full[tile[ri], nbrs[ri, ci]] = m_c[ri, ci]
     if verbose:
         print(f"[hetcor level {l}] local-sweep launches: {len(pending)}")
-    cond = (margin_full < 0) & Gb
+    if margin_full is not None:
+        cond |= (margin_full < 0) & Gb
+    cond &= Gb
     return cond | cond.T
 
 
@@ -1904,6 +1976,7 @@ def hetcor_skeleton(
             removed = _run_level_local_hetcor(
                 C_dev, N_dev, t_dev, G.astype(np.int32), l, float(threshold),
                 verbose=verbose, engine=engine, stats=stats,
+                time_index=time_index,
             )
         else:
             removed, _, _ = _run_level(

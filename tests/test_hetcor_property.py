@@ -318,20 +318,26 @@ def test_hetcor1_rowgather_route_scattered_matches_xla(monkeypatch):
     C_dev, N_dev = jnp.asarray(C), jnp.asarray(N)
     t_dev = jnp.asarray(t_ix.astype(np.float32))
 
-    def run(flag):
+    def run(flag, l):
         monkeypatch.setattr(cupc, "PALLAS_GATHER", flag)
         monkeypatch.setattr(cupc, "PALLAS_SWEEP", flag)
-        return cupc._run_level_local_hetcor1(
-            C_dev, N_dev, t_dev, G, float(th), time_index=t_ix
+        if l == 1:
+            return cupc._run_level_local_hetcor1(
+                C_dev, N_dev, t_dev, G, float(th), time_index=t_ix
+            )
+        return cupc._run_level_local_hetcor(
+            C_dev, N_dev, t_dev, G, l, float(th), time_index=t_ix
         )
 
     n_row = lambda: sum(
         1 for k in pg._FUSED_CACHE
-        if isinstance(k, tuple) and "rowapply" in k
+        if isinstance(k, tuple)
+        and any(isinstance(e, str) and e.startswith("rowapply") for e in k)
     )
     before = n_row()
-    a = run("0")
-    assert n_row() == before
-    b = run("1")
-    assert n_row() > before  # the row-DMA gather actually fired
-    np.testing.assert_array_equal(a, b)
+    for l in (1, 2):
+        a = run("0", l)
+        mid = n_row()
+        b = run("1", l)
+        assert n_row() > mid  # the row-DMA gather actually fired
+        np.testing.assert_array_equal(a, b)
