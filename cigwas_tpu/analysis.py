@@ -171,7 +171,12 @@ def global_upm(blockfile: str, outdir: str, max_depth=np.inf) -> dict:
 def global_eps(blockfile: str, outdir: str, max_depth=np.inf) -> dict:
     """Exclusive pleiotropy SETS over all blocks (bdpc.py:612-629):
     {(i, j): sparse marker indices shared by traits i, j} and
-    {(i, i): markers exclusive to trait i}."""
+    {(i, i): markers exclusive to trait i}.
+
+    DIVERGENCE: missing non-first block outputs are skipped (like
+    global_epm/global_upm and the merge); the reference's global_eps has
+    no try/except and raises FileNotFoundError there (bdpc.py:612-629).
+    """
     eps: dict = {}
     for bo in _iter_blocks(blockfile, outdir):
         pm = block_pheno_parents(bo, max_depth)
@@ -205,6 +210,10 @@ def global_parent_sets(
     block's sets before its mapping loop, so that block's values stay
     sparse indices even when reduced_indices=False (bdpc.py:665-669;
     same shape in global_ancestor_sets, bdpc.py:638-642).
+
+    DIVERGENCE: missing non-first block outputs are skipped; the
+    reference's global_parent_sets has no try/except and raises
+    FileNotFoundError there (bdpc.py:659-681).
     """
     gmi = None
     if not reduced_indices:
@@ -367,9 +376,10 @@ def pag_edge_types(pag_path: str, pheno_path: str) -> dict:
     """Tally of (mark_ij, mark_ji) endpoint pairs over all PAG links
     (bdpc.py:2358-2369)."""
     pag = _load_mtx_dense(pag_path)
-    ii, jj = np.nonzero(pag.T)
+    # enumerate nonzero pag[j, i] like the reference's lil-row walk (an
+    # asymmetric half-edge must tally under the same key)
     out: dict = {}
-    for j, i in zip(ii, jj):
+    for j, i in zip(*np.nonzero(pag)):
         e = (int(pag[i, j]), int(pag[j, i]))
         out[e] = out.get(e, 0) + 1
     return out
@@ -502,13 +512,19 @@ def marker_pheno_associations_with_pnames(
     rows = []
     for pix in np.arange(len(p_names)) + BASE_INDEX:
         for bim_line in anc.get(pix, ()):  # bim row indices
-            rows.append({
-                "phenotype": p_names[pix - BASE_INDEX],
-                "rsID": bim_df[1].values[bim_line],
-                "bim_line_ix": bim_line,
-                "chr": bim_df[0].values[bim_line],
-                "bp": bim_df[3].values[bim_line],
-            })
+            try:
+                rows.append({
+                    "phenotype": p_names[pix - BASE_INDEX],
+                    "rsID": bim_df[1].values[bim_line],
+                    "bim_line_ix": bim_line,
+                    "chr": bim_df[0].values[bim_line],
+                    "bp": bim_df[3].values[bim_line],
+                })
+            except IndexError:
+                # out-of-range indices (e.g. the first block's unmapped
+                # sparse indices) are skipped like the reference's
+                # try/except (bdpc.py:2291-2302)
+                print("pix: ", pix, "bim_line: ", bim_line)
     return pd.DataFrame(rows)
 
 

@@ -509,17 +509,6 @@ def _rowsweep_kernel(sc_ref, nbv_ref, C1d, rho_ref, pos_ref, rows_buf,
     _sweep_tail(Cb, qb, deg_i, rho_ref, pos_ref, d=d, l=l, ct=ct)
 
 
-def _rowgather_kernel(sc_ref, nbv_ref, C1d, Cb_ref, qb_ref, rows_buf,
-                      cb_buf, sem, *, d: int, vp: int):
-    """Row-DMA gather that WRITES the local panels (Cb, qb) — the
-    scattered-span replacement for `gather_local_panels`, for consumers
-    whose sweep needs more inputs than C (hetcor's per-pair ESS)."""
-    _row_gather_panel(sc_ref, nbv_ref, C1d, rows_buf, cb_buf, sem,
-                      d=d, vp=vp)
-    Cb_ref[0] = cb_buf[:d, :]
-    qb_ref[0, 0] = cb_buf[d, :]
-
-
 def _rowgather2_kernel(sc_ref, nbv_ref, C1d, N1d, Cb_ref, qb_ref, Nb_ref,
                        nr_ref, rows_buf, cb_buf, sem, *, d: int, vp: int):
     """Row-DMA gather of TWO panels' local blocks in ONE kernel (hetcor
@@ -623,31 +612,6 @@ def rowsweep_apply(C, node_ixs, nbrs, deg, l: int, ct: int, rho_threshold,
     )
 
 
-def _rowgather_core(C, scalars, nbrs2, interpret: bool):
-    """Traceable row-DMA panel gather (no jit — callers fuse consumers)."""
-    nt = scalars.shape[0]
-    d = nbrs2.shape[-1] - 8
-    vp = int(C.shape[0])
-    grid_spec = _row_grid_spec(nt, d, vp, (
-        pl.BlockSpec((1, d, d), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ))
-    Cb, qb = pl.pallas_call(
-        partial(_rowgather_kernel, d=d, vp=vp),
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((nt, d, d), jnp.float32),
-            jax.ShapeDtypeStruct((nt, 1, d), jnp.float32),
-        ),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        interpret=interpret,
-    )(scalars.reshape(nt, 1, d + 9), nbrs2[:, :d].reshape(nt, 1, d),
-      C.reshape(vp * vp))
-    return Cb, qb[:, 0, :]
-
-
 def _rowgather2_core(C, N, scalars, nbrs2, interpret: bool):
     """Traceable TWO-panel row-DMA gather: ((Cb, qb), (Nb, nr))."""
     nt = scalars.shape[0]
@@ -677,49 +641,6 @@ def _rowgather2_core(C, N, scalars, nbrs2, interpret: bool):
     )(scalars.reshape(nt, 1, d + 9), nbrs2[:, :d].reshape(nt, 1, d),
       C.reshape(vp * vp), N.reshape(vp * vp))
     return Cb, qb[:, 0, :], Nb, nr[:, 0, :]
-
-
-def rowgather_local_panels(C, node_ixs, nbrs, deg, interpret: bool = False):
-    """(Cb (nt, d, d), qb (nt, d)) via the row-DMA gather — the
-    scattered-span sibling of :func:`gather_local_panels` (same output
-    contract: valid entries bit-identical to the XLA gathers, pad slots
-    gather the node's own row/column). Serves ANY neighbour spans."""
-    scalars, nbrs2, _ = _row_inputs(node_ixs, nbrs, deg)
-    nt, d = np.asarray(nbrs).shape
-    vp = int(C.shape[0])
-    cache_key = ("rowgather", vp, d, nt, interpret)
-    fn = _SWEEP_CACHE.get(cache_key)
-    if fn is None:
-        def gather(C_, scalars_, nbrs2_):
-            return _rowgather_core(C_, scalars_, nbrs2_, interpret)
-
-        fn = jax.jit(gather)
-        _SWEEP_CACHE[cache_key] = fn
-    return fn(C, jnp.asarray(scalars), jnp.asarray(nbrs2))
-
-
-def rowgather_apply(C, node_ixs, nbrs, deg, consumer, key, extra=(),
-                    interpret: bool = False):
-    """Run ``consumer(Cb, qb, deg, *extra)`` on row-DMA-gathered panels in
-    ONE jitted dispatch — the scattered-span sibling of
-    :func:`gather_apply` (which serves windowed spans). Never returns
-    None: the row gather has no span constraint."""
-    scalars, nbrs2, deg = _row_inputs(node_ixs, nbrs, deg)
-    nt, d = np.asarray(nbrs).shape
-    vp = int(C.shape[0])
-    cache_key = (key, "rowapply", vp, d, nt, interpret)
-    fn = _FUSED_CACHE.get(cache_key)
-    if fn is None:
-        def fused(C_, scalars_, nbrs2_, deg_, *extra_):
-            Cb, qb = _rowgather_core(C_, scalars_, nbrs2_, interpret)
-            return consumer(Cb, qb, deg_, *extra_)
-
-        fn = jax.jit(fused)
-        _FUSED_CACHE[cache_key] = fn
-    return fn(
-        C, jnp.asarray(scalars), jnp.asarray(nbrs2),
-        jnp.asarray(np.asarray(deg)), *extra,
-    )
 
 
 def rowgather2_apply(C, N, node_ixs, nbrs, deg, consumer, key, extra=(),

@@ -567,7 +567,13 @@ def _run_level_local1(
         # gather fallback. Per-node results are tile-independent, so the
         # split is byte-transparent.
         groups = [(active, True)]
-        if _pallas_gather_route(C_dev, 128) is not None:
+        if (
+            _pallas_gather_route(C_dev, 128) is not None
+            or _pallas_rowsweep_route(C_dev, 128) is not None
+        ):
+            # split also when ONLY the row route is on (PALLAS_GATHER=0):
+            # wide-span groups must reach the row kernel, not sink to the
+            # XLA fallback through a windowed plan that cannot fit
             from cigwas_tpu.ops.pallas.panel_gather import MAX_W
 
             rows = Gb[active]
@@ -809,7 +815,11 @@ def _run_level_local(
     # sweep results are independent of tile grouping, so the split is
     # byte-transparent.
     groups = [(active, True)]
-    if engine is None and _pallas_gather_route(C_dev, 128) is not None:
+    if engine is None and (
+        _pallas_gather_route(C_dev, 128) is not None
+        or _pallas_rowsweep_route(C_dev, 128) is not None
+    ):
+        # split also when ONLY the row route is on (see _run_level_local1)
         from cigwas_tpu.ops.pallas.panel_gather import MAX_W
 
         rows = Gb[active]
@@ -1220,7 +1230,12 @@ def _run_level_local_hetcor(
         if engine is not None else None
     )
     pending = []
-    for d_pad, nodes, ct, node_tile in _local_tile_plan(deg_all, active, l):
+    # cap bucket merging at the row route's width so scattered-span
+    # buckets cannot silently cross it and fall back to the XLA gather
+    hetcor_cap = 256 if use_rowg else (128 if use_gather else None)
+    for d_pad, nodes, ct, node_tile in _local_tile_plan(
+        deg_all, active, l, d_cap=hetcor_cap
+    ):
         if engine is not None:
             # per-DEVICE shard shape == single-device launch shape (see
             # _run_level_local)

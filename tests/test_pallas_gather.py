@@ -335,9 +335,9 @@ def test_level_local_rowsweep_route_decision_parity(l, monkeypatch):
     C_dev = jnp.asarray(C)
     th = 0.15
 
-    def run(flag):
-        monkeypatch.setattr(cupc, "PALLAS_GATHER", flag)
-        monkeypatch.setattr(cupc, "PALLAS_SWEEP", flag)
+    def run(gflag, sflag):
+        monkeypatch.setattr(cupc, "PALLAS_GATHER", gflag)
+        monkeypatch.setattr(cupc, "PALLAS_SWEEP", sflag)
         if l == 1:
             return cupc._run_level_local1(C_dev, G, th, want_rho=False)
         return cupc._run_level_local(C_dev, G, l, th, want_rho=False)
@@ -346,10 +346,22 @@ def test_level_local_rowsweep_route_decision_parity(l, monkeypatch):
         1 for k in pg._SWEEP_CACHE if k[0] == "rowsweep"
     )
     before = n_row_keys()
-    ra, ta = run("0")
+    ra, ta = run("0", "0")
     assert n_row_keys() == before
-    rb, tb = run("1")
+    rb, tb = run("1", "1")
     assert n_row_keys() > before  # the row-DMA kernel actually fired
+    # gather disabled, sweep on: the span split must still route the
+    # scattered group to the row kernel (not sink it to the XLA fallback
+    # through a windowed plan that cannot fit)
+    calls = []
+    orig = pg.rowsweep_apply
+    monkeypatch.setattr(
+        pg, "rowsweep_apply",
+        lambda *a, **k: (calls.append(1), orig(*a, **k))[1],
+    )
+    rc, _ = run("0", "1")
+    assert calls  # the row kernel fired without the gather route
+    np.testing.assert_array_equal(ra, rc)
     # _run_level_local1 returns (xs, ys, sep, rho); _run_level_local
     # returns (xs, ys, rho, sep)
     if l == 1:
