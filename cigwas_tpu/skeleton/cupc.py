@@ -244,15 +244,24 @@ def _pallas_sweep_route(C_dev, d_pad: int):
 
 
 def _pallas_rowsweep_route(C_dev, d_pad: int):
-    """Row-DMA gather+sweep route (no span constraint): same gates as
-    the windowed sweep route, used for node groups whose neighbour spans
-    exceed any window (chance correlations at genome-scale blocks).
+    """Row-DMA gather+sweep route (no span constraint) — FORCED MODE
+    ONLY (`CIGWAS_PALLAS_SWEEP=1`).
 
-    Extra gate vs the windowed route: the kernel DMAs rows through a 1-D
-    view of C, whose slices Mosaic requires 1024-element-aligned — so on
-    the compiled path vp must be a multiple of 1024 (the 11k-class panels
-    it was built for are; interpret mode has no such constraint)."""
-    if PALLAS_SWEEP == "0":
+    On ISOLATED scattered panels the kernel beats the XLA local sweeps
+    1.65x/1.9x/6.5x at levels 1/2/3 (scripts/probe_r5_rowsweep.py), but
+    at the production 11k AR(1) block it LOSES (19.5 s vs 14.0 s wall,
+    every level worse, min-of-2 A/B): production neighbour lists are
+    LD-clustered with only a FEW far chance edges, so the XLA element
+    gather keeps tile locality that uniformly-scattered probe lists
+    destroy, while this kernel's per-node cost — (d+8) full-vp row DMAs
+    plus a vp-wide one-hot column select — is degree-independent. Kept
+    behind the forced flag (and for the two-panel hetcor gather route,
+    which measurably wins: `_pallas_rowgather2_route`).
+
+    The kernel DMAs rows through a 1-D view of C, whose slices Mosaic
+    requires 1024-element-aligned — on the compiled path vp must be a
+    multiple of 1024 (interpret mode has no such constraint)."""
+    if PALLAS_SWEEP != "1":
         return None
     from cigwas_tpu.ops.pallas import panel_gather as pg
 
@@ -265,16 +274,35 @@ def _pallas_rowsweep_route(C_dev, d_pad: int):
         on_tpu = False
     if on_tpu and vp % 1024:
         return None
-    if PALLAS_SWEEP == "auto" and vp < 4096:
-        # same small-panel gate as the windowed route: per-node grid
-        # overhead (plus d+8 full-row DMAs here) loses to the few-launch
-        # XLA route below the 11k-class panels it was built for
+    return partial(pg.rowsweep_apply, interpret=not on_tpu)
+
+
+def _pallas_rowgather2_route(C_dev, d_pad: int):
+    """TWO-PANEL row-DMA gather route for the hetcor (summary-stat)
+    levels: gathers matched correlation + per-pair-ESS local panels in
+    one kernel for ANY neighbour spans. Unlike the plain-skeleton
+    rowsweep (see `_pallas_rowsweep_route`), this one wins in production:
+    hetcor's XLA route element-gathers TWO (nt, d, d) panels per launch,
+    and the cuskss level-1 device wait dropped 15.4 s -> 1.2 s with it
+    (BENCH r5). Same flag semantics as the windowed gather route."""
+    if PALLAS_GATHER == "0":
         return None
-    if PALLAS_SWEEP == "1":
-        return partial(pg.rowsweep_apply, interpret=not on_tpu)
-    if PALLAS_SWEEP != "auto" or not on_tpu:
+    from cigwas_tpu.ops.pallas import panel_gather as pg
+
+    vp = int(C_dev.shape[0])
+    if vp % 128 or d_pad < 32 or d_pad > 256:
         return None
-    return pg.rowsweep_apply
+    try:
+        on_tpu = next(iter(C_dev.devices())).platform == "tpu"
+    except Exception:
+        on_tpu = False
+    if on_tpu and vp % 1024:
+        return None
+    if PALLAS_GATHER == "1":
+        return partial(pg.rowgather2_apply, interpret=not on_tpu)
+    if PALLAS_GATHER != "auto" or not on_tpu or vp < 4096:
+        return None
+    return pg.rowgather2_apply
 
 
 def _sweep_ct(d_pad: int) -> int:
@@ -1064,7 +1092,7 @@ def _run_level_local_hetcor1(
     use_gather = time_index is not None and _pallas_gather_route(
         C_dev, 128
     ) is not None
-    use_rowg = time_index is not None and _pallas_rowsweep_route(
+    use_rowg = time_index is not None and _pallas_rowgather2_route(
         C_dev, 128
     ) is not None
     d_cap = 128 if (use_gather or use_rowg) else None
@@ -1072,7 +1100,7 @@ def _run_level_local_hetcor1(
         deg_all, active, 1, d_cap=d_cap
     ):
         gather = _pallas_gather_route(C_dev, d_pad) if use_gather else None
-        rowg = _pallas_rowsweep_route(C_dev, d_pad) if use_rowg else None
+        rowg = _pallas_rowgather2_route(C_dev, d_pad) if use_rowg else None
         for s0 in range(0, len(nodes), node_tile):
             tile = nodes[s0 : s0 + node_tile]
             pad = node_tile - len(tile)
@@ -1118,7 +1146,7 @@ def _run_level_local_hetcor1(
                     )
                 elif rowg is not None:
                     # both panels gathered + swept in ONE dispatch
-                    m_dev = pg.rowgather2_apply(
+                    m_dev = rowg(
                         C_dev, N_dev, tile_p, nbrs, deg,
                         consumer=lambda Cb, qb, Nb_, nr_, dg, tn_, tx_, th_:
                             jnp.packbits(
@@ -1129,7 +1157,6 @@ def _run_level_local_hetcor1(
                         key=("hetcor1bits2",),
                         extra=(jnp.asarray(tn), jnp.asarray(tx),
                                jnp.float32(th)),
-                        interpret=interp,
                     )
             if m_dev is None:
                 m_dev = pcorr_ops.hetcor1_local_sweep_bits(
@@ -1222,7 +1249,7 @@ def _run_level_local_hetcor(
     )
     use_rowg = (
         engine is None and time_index is not None
-        and _pallas_rowsweep_route(C_dev, 128) is not None
+        and _pallas_rowgather2_route(C_dev, 128) is not None
     )
     cond = np.zeros((n, n), dtype=bool)
     margin_full = (
@@ -1241,7 +1268,7 @@ def _run_level_local_hetcor(
             # _run_level_local)
             node_tile = node_tile * engine.ndev
         gather = _pallas_gather_route(C_dev, d_pad) if use_gather else None
-        rowg = _pallas_rowsweep_route(C_dev, d_pad) if use_rowg else None
+        rowg = _pallas_rowgather2_route(C_dev, d_pad) if use_rowg else None
         for s0 in range(0, len(nodes), node_tile):
             tile = nodes[s0 : s0 + node_tile]
             pad = node_tile - len(tile)
@@ -1285,7 +1312,7 @@ def _run_level_local_hetcor(
                     )
                 elif rowg is not None:
                     # both panels gathered + swept in ONE dispatch
-                    m_dev = pg.rowgather2_apply(
+                    m_dev = rowg(
                         C_dev, N_dev, tile_p, nbrs, deg,
                         consumer=lambda Cb, qb, Nb_, nr_, dg, tn_, tx_, th_:
                             jnp.packbits(
@@ -1297,7 +1324,6 @@ def _run_level_local_hetcor(
                         key=(f"hetcor{l}bits2", ct),
                         extra=(jnp.asarray(tn), jnp.asarray(tx),
                                jnp.float32(th)),
-                        interpret=interp,
                     )
             if m_dev is None:
                 if engine is not None:
