@@ -1040,6 +1040,23 @@ def _run_level_local(
     )
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _hetcor_scatter_bits(acc, tile, nbrs, bits, deg):
+    """Scatter one launch's removal hit-bits into the device-resident
+    (n, n) condition mask: per-launch HOST fetches serialize on each
+    launch's device completion plus a relay round trip, so hetcor levels
+    accumulate on device and fetch ONE packed mask at the end."""
+    d = nbrs.shape[1]
+    hit = jnp.unpackbits(bits, axis=1, count=d).astype(bool)
+    valid = jnp.arange(d)[None, :] < deg[:, None]
+    return acc.at[tile[:, None], nbrs].max(hit & valid)
+
+
+@jax.jit
+def _packbits_rows(acc):
+    return jnp.packbits(acc, axis=1)
+
+
 def _run_level_local_hetcor1(
     C_dev,
     N_dev,
@@ -1083,7 +1100,8 @@ def _run_level_local_hetcor1(
         return removed
     cond = np.zeros((n, n), dtype=bool)
     mark("host_alloc")
-    pending = []
+    acc = None
+    n_launch = 0
     # the two-panel gathers need host time indices; without them the
     # XLA-gather fallback is used throughout. Windowed spans ride the
     # window kernel; scattered spans the row-DMA kernel (chance
@@ -1101,6 +1119,13 @@ def _run_level_local_hetcor1(
     ):
         gather = _pallas_gather_route(C_dev, d_pad) if use_gather else None
         rowg = _pallas_rowgather2_route(C_dev, d_pad) if use_rowg else None
+        if gather is not None or rowg is not None:
+            # wide gather launches (per-step VMEM/SMEM is bounded): the
+            # per-launch FETCH costs a relay round trip, and XLA-budget
+            # tiles made 21 of them at the 10k cuskss bench (~0.2 s
+            # each). Capped at 2048 nodes so the XLA margin consumer's
+            # (d, d, nt) intermediates stay ~134 MB.
+            node_tile = min(_next_pow2(len(nodes)), 2048)
         for s0 in range(0, len(nodes), node_tile):
             tile = nodes[s0 : s0 + node_tile]
             pad = node_tile - len(tile)
@@ -1163,29 +1188,27 @@ def _run_level_local_hetcor1(
                     C_dev, N_dev, t_dev, jnp.asarray(tile_p),
                     jnp.asarray(nbrs), jnp.asarray(deg), jnp.float32(th),
                 )
-            pending.append((tile, nbrs, deg, m_dev))
+            # device-side accumulation: launches pipeline on the device
+            # without per-launch host fetches (see _hetcor_scatter_bits)
+            if acc is None:
+                acc = jnp.zeros((n, n), jnp.bool_)
+            acc = _hetcor_scatter_bits(
+                acc, jnp.asarray(tile_p), jnp.asarray(nbrs), m_dev,
+                jnp.asarray(deg),
+            )
+            n_launch += 1
     mark("dispatch")
-    for _, _, _, m_dev in pending:
-        m_dev.copy_to_host_async()
-    first = True
-    for tile, nbrs, deg, m_dev in pending:
-        bits = np.asarray(m_dev)
-        if first:
-            mark("device_wait")
-            first = False
-        nt_real = len(tile)
-        d_pad = nbrs.shape[1]
-        hit = np.unpackbits(bits, axis=1, count=d_pad).astype(bool)[:nt_real]
-        valid = np.arange(d_pad)[None, :] < deg[:nt_real, None]
-        ri, ci = np.nonzero(hit & valid)
-        cond[tile[ri], nbrs[ri, ci]] = True
+    if acc is not None:
+        packed = np.asarray(_packbits_rows(acc))
+        mark("device_wait")
+        cond = np.unpackbits(packed, axis=1, count=n).astype(bool)
     mark("fetch_scatter")
     if stats is not None:
         stats.setdefault("level_detail", {}).setdefault(1, {})["launches"] = (
-            len(pending)
+            n_launch
         )
     if verbose:
-        print(f"[hetcor level 1] local-sweep launches: {len(pending)}")
+        print(f"[hetcor level 1] local-sweep launches: {n_launch}")
     cond &= Gb
     return cond | cond.T
 
@@ -1257,6 +1280,8 @@ def _run_level_local_hetcor(
         if engine is not None else None
     )
     pending = []
+    acc = None
+    n_launch = 0
     # cap bucket merging at the row route's width so scattered-span
     # buckets cannot silently cross it and fall back to the XLA gather
     hetcor_cap = 256 if use_rowg else (128 if use_gather else None)
@@ -1269,6 +1294,10 @@ def _run_level_local_hetcor(
             node_tile = node_tile * engine.ndev
         gather = _pallas_gather_route(C_dev, d_pad) if use_gather else None
         rowg = _pallas_rowgather2_route(C_dev, d_pad) if use_rowg else None
+        if gather is not None or rowg is not None:
+            # wide gather launches: per-launch fetches cost relay round
+            # trips (see _run_level_local_hetcor1)
+            node_tile = min(_next_pow2(len(nodes)), 2048)
         for s0 in range(0, len(nodes), node_tile):
             tile = nodes[s0 : s0 + node_tile]
             pad = node_tile - len(tile)
@@ -1331,14 +1360,25 @@ def _run_level_local_hetcor(
                         C_dev, N_dev, t_dev, jnp.asarray(tile_p),
                         jnp.asarray(nbrs), jnp.asarray(deg), float(th), ct,
                     )
-                else:
-                    m_dev = sweep_bits(
-                        C_dev, N_dev, t_dev, jnp.asarray(tile_p),
-                        jnp.asarray(nbrs), jnp.asarray(deg),
-                        jnp.float32(th), ct,
-                    )
-            pending.append((tile, nbrs, deg, m_dev))
+                    pending.append((tile, nbrs, deg, m_dev))
+                    continue
+                m_dev = sweep_bits(
+                    C_dev, N_dev, t_dev, jnp.asarray(tile_p),
+                    jnp.asarray(nbrs), jnp.asarray(deg),
+                    jnp.float32(th), ct,
+                )
+            # device-side accumulation (see _hetcor_scatter_bits)
+            if acc is None:
+                acc = jnp.zeros((n, n), jnp.bool_)
+            acc = _hetcor_scatter_bits(
+                acc, jnp.asarray(tile_p), jnp.asarray(nbrs), m_dev,
+                jnp.asarray(deg),
+            )
+            n_launch += 1
 
+    if acc is not None:
+        packed = np.asarray(_packbits_rows(acc))
+        cond = np.unpackbits(packed, axis=1, count=n).astype(bool)
     for _, _, _, m_dev in pending:
         m_dev.copy_to_host_async()
     for tile, nbrs, deg, m_dev in pending:
@@ -1346,15 +1386,13 @@ def _run_level_local_hetcor(
         nt_real = len(tile)
         d_pad = nbrs.shape[1]
         valid = np.arange(d_pad)[None, :] < deg[:nt_real, None]
-        if m_c.dtype == np.uint8:  # hit-bits fetch
-            hit = np.unpackbits(m_c, axis=1, count=d_pad).astype(bool)
-            ri, ci = np.nonzero(hit[:nt_real] & valid)
-            cond[tile[ri], nbrs[ri, ci]] = True
-        else:
-            ri, ci = np.nonzero(valid)
-            margin_full[tile[ri], nbrs[ri, ci]] = m_c[ri, ci]
+        ri, ci = np.nonzero(valid)
+        margin_full[tile[ri], nbrs[ri, ci]] = m_c[ri, ci]
     if verbose:
-        print(f"[hetcor level {l}] local-sweep launches: {len(pending)}")
+        print(
+            f"[hetcor level {l}] local-sweep launches: "
+            f"{n_launch + len(pending)}"
+        )
     if margin_full is not None:
         cond |= (margin_full < 0) & Gb
     cond &= Gb
